@@ -1,0 +1,176 @@
+"""IR / IR-SE ResNet embedding backbones (ir_18/34/50/101/152, ir_se_*).
+
+JAX/flax reimplementation of the AdaFace model-zoo architecture that the
+reference consumes as an external dependency (`net.build_model(arch)`,
+imported at reference `face_embedder.py:11`; forward contract
+`features, norm = model(x)` used at `face_embedder.py:119,157`).
+
+Architecture (per SURVEY.md §2 #6):
+  input  : Conv3x3(3→64, s1) → BN → PReLU
+  body   : stacked BasicBlockIR[SE] units
+             shortcut = identity-ish (MaxPool1x1/s) or Conv1x1(s)+BN
+             residual = BN → Conv3x3(s1) → BN → PReLU → Conv3x3(s) → BN [→ SE]
+  output : BN → Dropout(0.4) → Flatten → Linear(512·7·7 → 512) → BN1d(no affine)
+  head   : feature = x / ||x||, returned together with ||x||.
+
+TPU-first details: NHWC layout throughout (MXU-friendly conv layouts),
+optional bfloat16 compute with float32 params/statistics, no Python control
+flow on traced values, and a single jitted forward over the whole padded face
+batch instead of the reference's per-32 chunked torch loop
+(`face_embedder.py:146-161`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# (depth, num_units, stride of first unit) per stage; channels double per stage.
+# Unit counts follow the AdaFace zoo layer recipes.
+BACKBONE_CONFIGS: dict[str, dict[str, Any]] = {
+    "ir_18": {"units": (2, 2, 2, 2), "use_se": False},
+    "ir_34": {"units": (3, 4, 6, 3), "use_se": False},
+    "ir_50": {"units": (3, 4, 14, 3), "use_se": False},
+    "ir_101": {"units": (3, 13, 30, 3), "use_se": False},
+    "ir_152": {"units": (3, 8, 36, 3), "use_se": False},
+    "ir_se_50": {"units": (3, 4, 14, 3), "use_se": True},
+    "ir_se_101": {"units": (3, 13, 30, 3), "use_se": True},
+}
+_STAGE_CHANNELS = (64, 128, 256, 512)
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C) semantics)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            "alpha", nn.initializers.constant(0.25), (x.shape[-1],), jnp.float32
+        )
+        alpha = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+class SEModule(nn.Module):
+    """Squeeze-and-excitation: GAP → 1x1 conv (C→C/r) → ReLU → 1x1 conv → sigmoid."""
+
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(c // self.reduction, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class BasicBlockIR(nn.Module):
+    """One IR residual unit; `use_se=True` makes it the IR-SE variant."""
+
+    depth: int
+    stride: int
+    use_se: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+
+        if in_ch == self.depth:
+            # torch MaxPool2d(kernel=1, stride=s): pure subsampling.
+            shortcut = x[:, :: self.stride, :: self.stride, :]
+        else:
+            shortcut = nn.Conv(
+                self.depth, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype, name="shortcut_conv",
+            )(x)
+            shortcut = bn("shortcut_bn")(shortcut)
+
+        r = bn("res_bn1")(x)
+        r = nn.Conv(self.depth, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="res_conv1")(r)
+        r = bn("res_bn2")(r)
+        r = PReLU(name="res_prelu")(r)
+        r = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="res_conv2")(r)
+        r = bn("res_bn3")(r)
+        if self.use_se:
+            r = SEModule(dtype=self.dtype, name="se")(r)
+        return r + shortcut
+
+
+class IRBackbone(nn.Module):
+    """Full IR/IR-SE backbone; __call__ returns (l2-normalized feature, norm)."""
+
+    units: Sequence[int]
+    use_se: bool = False
+    embedding_dim: int = 512
+    input_size: int = 112
+    dtype: Any = jnp.float32  # compute dtype; params stay float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, jax.Array]:
+        """x: [B, input_size, input_size, 3] normalized BGR in [-1, 1], NHWC."""
+        bn = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name="input_conv")(x)
+        x = bn("input_bn")(x)
+        x = PReLU(name="input_prelu")(x)
+
+        for stage, (n_units, depth) in enumerate(zip(self.units, _STAGE_CHANNELS)):
+            for unit in range(n_units):
+                x = BasicBlockIR(
+                    depth=depth,
+                    stride=2 if unit == 0 else 1,
+                    use_se=self.use_se,
+                    dtype=self.dtype,
+                    name=f"stage{stage}_unit{unit}",
+                )(x, train=train)
+
+        x = bn("output_bn")(x)
+        x = nn.Dropout(0.4, deterministic=not train, name="output_dropout")(x)
+        b = x.shape[0]
+        # torch Flatten on NCHW gives channel-major ordering; transpose so an
+        # imported torch Linear weight matrix lines up element-for-element.
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
+        x = nn.Dense(self.embedding_dim, dtype=self.dtype, name="output_fc")(x)
+        # Final BatchNorm1d(affine=False): running stats only.
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_bias=False, use_scale=False, dtype=self.dtype, name="output_feature_bn",
+        )(x)
+
+        x = x.astype(jnp.float32)
+        norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+        feature = x / jnp.maximum(norm, 1e-12)
+        return feature, norm
+
+
+def build_backbone(architecture: str, dtype=jnp.float32) -> IRBackbone:
+    """Factory mirroring the zoo's `net.build_model(arch)` naming."""
+    if architecture not in BACKBONE_CONFIGS:
+        raise ValueError(
+            f"Unknown architecture: {architecture}. "
+            f"Available: {sorted(BACKBONE_CONFIGS)}"
+        )
+    cfg = BACKBONE_CONFIGS[architecture]
+    return IRBackbone(units=cfg["units"], use_se=cfg["use_se"], dtype=dtype)

@@ -1,0 +1,72 @@
+"""Batched image ops: color conversion, resize, model-input normalization.
+
+Behavioral contracts mirrored from the reference pipeline
+(`face_embedder.py:93-110`, `face_recognition.py:94-99` in
+tuoasty/FaceRecognitionPipeline) but implemented as fixed-shape NHWC batches
+so XLA can fuse them into the surrounding graph. Note the reference's two
+normalizations — AdaFace `(x/255 - 0.5)/0.5` and ArcFace `(x - 127.5)/127.5`
+— are the same affine map; there is one op here serving both model types.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# ITU-R BT.601 luma weights — identical to cv2.COLOR_RGB2GRAY.
+_GRAY_WEIGHTS = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+
+MODEL_INPUT_SIZE = 112
+
+
+def rgb_to_gray(images: jax.Array) -> jax.Array:
+    """[..., H, W, 3] RGB (any real dtype) -> [..., H, W] float32 grayscale."""
+    return jnp.tensordot(images.astype(jnp.float32), _GRAY_WEIGHTS, axes=([-1], [0]))
+
+
+def rgb_to_bgr(images: jax.Array) -> jax.Array:
+    """Flip the channel axis ([..., 3])."""
+    return images[..., ::-1]
+
+
+def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """Batched bilinear resize with half-pixel-center sampling.
+
+    Matches cv2.INTER_LINEAR coordinate mapping (src = (dst + 0.5)*scale - 0.5),
+    which is also what `jax.image.resize(method="linear")` implements.
+    Accepts [..., H, W, C]; resizes the (H, W) axes only.
+    """
+    *lead, h, w, c = images.shape
+    if (h, w) == (out_h, out_w):
+        return images.astype(jnp.float32)
+    out_shape = (*lead, out_h, out_w, c)
+    return jax.image.resize(images.astype(jnp.float32), out_shape, method="linear")
+
+
+def normalize_face_batch(faces_rgb: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8/float RGB faces [..., H, W, 3] -> BGR, (x - 127.5) / 127.5.
+
+    One op for both model families: AdaFace's `(x/255 - 0.5)/0.5` and
+    ArcFace's `(x - 127.5)/127.5` (reference `face_embedder.py:98-110`) are
+    the same transform. Output stays NHWC (TPU-native) with BGR channel order
+    so imported torch/onnx weights see the channel ordering they were trained
+    with.
+    """
+    x = rgb_to_bgr(faces_rgb).astype(jnp.float32)
+    x = (x - 127.5) / 127.5
+    return x.astype(dtype)
+
+
+def preprocess_faces(
+    faces_rgb: jax.Array,
+    input_size: int = MODEL_INPUT_SIZE,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Resize (if needed) + normalize a batch of RGB face crops for the embedder.
+
+    [B, H, W, 3] any real dtype -> [B, input_size, input_size, 3] `dtype`,
+    BGR, in [-1, 1]. Mirrors reference `face_embedder.preprocess`
+    (`face_embedder.py:93-110`) as a single fused batched op.
+    """
+    faces_rgb = resize_bilinear(faces_rgb, input_size, input_size)
+    return normalize_face_batch(faces_rgb, dtype=dtype)

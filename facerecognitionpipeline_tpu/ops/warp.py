@@ -1,0 +1,171 @@
+"""Batched similarity-transform face alignment.
+
+TPU-native replacement for the reference's per-face
+`cv2.estimateAffinePartial2D` + `cv2.warpAffine` (`face_recognition.py:61-75`):
+
+* `similarity_transform` — closed-form least-squares 4-DoF (scale, rotation,
+  translation, no reflection) fit of landmarks onto a template. This is the
+  exact optimum that estimateAffinePartial2D converges to on clean
+  correspondences, computed batched with no SVD / no host round-trip.
+* `warp_affine` — batched bilinear warp with constant-zero border, built from
+  gathers so XLA fuses it; one kernel for the whole face batch instead of one
+  cv2 call per face.
+
+Template matches reference `FaceAligner.template` fractions
+(face_recognition.py:53-59); the canonical ArcFace 112x112 template is also
+provided for insightface-style alignment.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# insightface/ArcFace canonical 112x112 5-point template.
+ARCFACE_TEMPLATE = np.array(
+    [
+        [38.2946, 51.6963],
+        [73.5318, 51.5014],
+        [56.0252, 71.7366],
+        [41.5493, 92.3655],
+        [70.7299, 92.2041],
+    ],
+    dtype=np.float32,
+)
+
+# Reference FaceAligner fractional template (face_recognition.py:53-59).
+_REFERENCE_FRACTIONS = np.array(
+    [[0.34, 0.46], [0.66, 0.46], [0.50, 0.61], [0.37, 0.74], [0.63, 0.74]],
+    dtype=np.float32,
+)
+
+
+def reference_template(output_size: int = 112) -> np.ndarray:
+    """The reference pipeline's 5-point template scaled to `output_size`."""
+    return _REFERENCE_FRACTIONS * float(output_size)
+
+
+def similarity_transform(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Least-squares non-reflective similarity mapping src -> dst.
+
+    src: [B, K, 2] landmark points; dst: [K, 2] or [B, K, 2] template points.
+    Returns forward affine matrices [B, 2, 3] (same convention as the 2x3
+    matrix cv2.estimateAffinePartial2D returns).
+
+    Closed form: with centered coordinates x (src) and y (dst),
+      a = sum(x . y) / sum(|x|^2),  b = sum(x ^ y) / sum(|x|^2)
+    giving M = [[a, -b], [b, a]] and t = mean(dst) - M @ mean(src).
+    """
+    src = src.astype(jnp.float32)
+    dst = jnp.broadcast_to(dst.astype(jnp.float32), src.shape)
+
+    src_mean = jnp.mean(src, axis=1, keepdims=True)
+    dst_mean = jnp.mean(dst, axis=1, keepdims=True)
+    x = src - src_mean
+    y = dst - dst_mean
+
+    denom = jnp.sum(x * x, axis=(1, 2))
+    denom = jnp.where(denom > 0, denom, 1.0)
+    a = jnp.sum(x * y, axis=(1, 2)) / denom
+    b = jnp.sum(x[:, :, 0] * y[:, :, 1] - x[:, :, 1] * y[:, :, 0], axis=1) / denom
+
+    rot = jnp.stack(
+        [jnp.stack([a, -b], axis=-1), jnp.stack([b, a], axis=-1)], axis=1
+    )  # [B, 2, 2]
+    t = dst_mean[:, 0, :] - jnp.einsum("bij,bj->bi", rot, src_mean[:, 0, :])
+    return jnp.concatenate([rot, t[:, :, None]], axis=2)
+
+
+def invert_affine(m: jax.Array) -> jax.Array:
+    """Invert batched 2x3 affine matrices. m: [B, 2, 3] -> [B, 2, 3]."""
+    a = m[:, :, :2]
+    t = m[:, :, 2]
+    det = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    inv = (
+        jnp.stack(
+            [
+                jnp.stack([a[:, 1, 1], -a[:, 0, 1]], axis=-1),
+                jnp.stack([-a[:, 1, 0], a[:, 0, 0]], axis=-1),
+            ],
+            axis=1,
+        )
+        / det[:, None, None]
+    )
+    inv_t = -jnp.einsum("bij,bj->bi", inv, t)
+    return jnp.concatenate([inv, inv_t[:, :, None]], axis=2)
+
+
+def warp_affine(
+    images: jax.Array,
+    matrices: jax.Array,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
+    """Batched bilinear affine warp with constant-zero border.
+
+    images: [B, H, W, C]; matrices: [B, 2, 3] FORWARD maps (src -> dst pixel
+    coords, cv2.warpAffine convention). Returns [B, out_h, out_w, C] float32.
+
+    Sampling: for each output pixel p, src = M^-1 @ p, bilinear interpolation,
+    zero outside the source (cv2 BORDER_CONSTANT, value 0).
+    """
+    b, h, w, c = images.shape
+    images = images.astype(jnp.float32)
+    inv = invert_affine(matrices)
+
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # [out_h, out_w]
+
+    # src coords per batch element: [B, out_h, out_w]
+    sx = inv[:, 0, 0, None, None] * gx + inv[:, 0, 1, None, None] * gy + inv[:, 0, 2, None, None]
+    sy = inv[:, 1, 0, None, None] * gx + inv[:, 1, 1, None, None] * gy + inv[:, 1, 2, None, None]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = images.reshape(b, h * w, c)
+
+    def gather(yi: jax.Array, xi: jax.Array) -> jax.Array:
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(b, out_h * out_w, 1), axis=1
+        ).reshape(b, out_h, out_w, c)
+        return vals * inb[..., None].astype(jnp.float32)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def align_faces(
+    image: jax.Array,
+    landmarks: jax.Array,
+    template: jax.Array,
+    output_size: int = 112,
+) -> jax.Array:
+    """Align every detected face of one image to the template.
+
+    image: [H, W, C]; landmarks: [F, 5, 2] (F = padded max faces);
+    template: [5, 2]. Returns [F, output_size, output_size, C] float32.
+    The vectorized equivalent of reference `FaceAligner.align`
+    (face_recognition.py:61-75) over all faces of a frame at once.
+    """
+    f = landmarks.shape[0]
+    mats = similarity_transform(landmarks, template)
+    imgs = jnp.broadcast_to(image[None], (f, *image.shape))
+    return warp_affine(imgs, mats, output_size, output_size)
