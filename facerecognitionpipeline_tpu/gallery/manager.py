@@ -1,0 +1,395 @@
+"""Gallery manager: the identity store behind enrollment, matching, serving.
+
+API- and artifact-compatible rebuild of the reference `GalleryManager` /
+`StudentRecord` (`gallery_manager.py:16-330`): same pickle `{sid: record}` +
+JSON metadata sidecar schemas, same aggregation (mean/median/weighted_mean
+with L2 norm), same intra-similarity quality filter and median-based outlier
+removal, same search result tuples. Differences (deliberate):
+
+* search runs on device via `DeviceGallery` (one matmul + top_k) and the
+  template matrix is rebuilt lazily on mutation instead of re-stacked per
+  query (fixes reference gallery_manager.py:194);
+* `StudentRecord.from_dict` actually works (the reference's is dead code —
+  mis-indented inside to_dict, gallery_manager.py:39-50);
+* reference pickles load transparently: a renaming Unpickler maps any
+  module's `StudentRecord` onto ours.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import pickle
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from facerecognitionpipeline_tpu.gallery.search import DeviceGallery
+
+_EPS = 1e-8
+
+
+@dataclass
+class StudentRecord:
+    student_id: str
+    name: str
+    embeddings: np.ndarray          # [N, 512]
+    template_embedding: np.ndarray  # [512]
+    num_samples: int
+    enrollment_date: str
+    last_updated: str
+    metadata: Dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return {
+            "student_id": self.student_id,
+            "name": self.name,
+            "embeddings": np.asarray(self.embeddings).tolist(),
+            "template_embedding": np.asarray(self.template_embedding).tolist(),
+            "num_samples": self.num_samples,
+            "enrollment_date": self.enrollment_date,
+            "last_updated": self.last_updated,
+            "metadata": self.metadata or {},
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "StudentRecord":
+        return cls(
+            student_id=data["student_id"],
+            name=data["name"],
+            embeddings=np.asarray(data["embeddings"], dtype=np.float32),
+            template_embedding=np.asarray(data["template_embedding"], dtype=np.float32),
+            num_samples=data["num_samples"],
+            enrollment_date=data["enrollment_date"],
+            last_updated=data["last_updated"],
+            metadata=data.get("metadata", {}) or {},
+        )
+
+
+class _CompatUnpickler(pickle.Unpickler):
+    """Load reference-produced gallery pickles: any module's StudentRecord
+    class resolves to ours."""
+
+    def find_class(self, module, name):
+        if name == "StudentRecord":
+            return StudentRecord
+        return super().find_class(module, name)
+
+
+class GalleryManager:
+    """Identity gallery with persistence, aggregation and on-device search."""
+
+    def __init__(
+        self,
+        gallery_path: Optional[str] = None,
+        aggregation_method: str = "mean",
+        verbose: bool = True,
+    ):
+        if gallery_path is None:
+            gallery_path = os.path.join(os.getcwd(), "gallery", "students.pkl")
+        self.gallery_path = gallery_path
+        self.aggregation_method = aggregation_method
+        self.verbose = verbose
+        self.students: Dict[str, StudentRecord] = {}
+        self._device = DeviceGallery()
+        self._dirty = True
+
+        os.makedirs(os.path.dirname(gallery_path) or ".", exist_ok=True)
+        if os.path.exists(gallery_path):
+            self.load()
+            self._log(f"Loaded gallery with {len(self.students)} students")
+        else:
+            self._log("Initialized empty gallery")
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+
+    # ------------------------------------------------------------- mutation
+
+    def add_student(
+        self,
+        student_id: str,
+        name: str,
+        embeddings: np.ndarray,
+        metadata: Optional[Dict] = None,
+        overwrite: bool = False,
+    ) -> bool:
+        if student_id in self.students and not overwrite:
+            self._log(
+                f"Student {student_id} already exists. Use overwrite=True to replace."
+            )
+            return False
+
+        embeddings = np.atleast_2d(np.asarray(embeddings, dtype=np.float32))
+        template = self._aggregate_embeddings(embeddings)
+        now = datetime.now().isoformat()
+        self.students[student_id] = StudentRecord(
+            student_id=student_id,
+            name=name,
+            embeddings=embeddings,
+            template_embedding=template,
+            num_samples=len(embeddings),
+            enrollment_date=now,
+            last_updated=now,
+            metadata=metadata or {},
+        )
+        self._dirty = True
+        self._log(
+            f"{'Updated' if overwrite else 'Added'} student: {name} ({student_id}) "
+            f"with {len(embeddings)} embeddings"
+        )
+        return True
+
+    def update_embeddings(
+        self, student_id: str, new_embeddings: np.ndarray, mode: str = "append"
+    ) -> bool:
+        if student_id not in self.students:
+            self._log(f"Student {student_id} not found")
+            return False
+        student = self.students[student_id]
+        new_embeddings = np.atleast_2d(np.asarray(new_embeddings, dtype=np.float32))
+
+        if mode == "append":
+            updated = np.vstack([student.embeddings, new_embeddings])
+        elif mode == "replace":
+            updated = new_embeddings
+        elif mode == "merge":
+            updated = self._remove_outliers(
+                np.vstack([student.embeddings, new_embeddings])
+            )
+        else:
+            raise ValueError(f"Unknown mode: {mode}")
+
+        student.embeddings = updated
+        student.template_embedding = self._aggregate_embeddings(updated)
+        student.num_samples = len(updated)
+        student.last_updated = datetime.now().isoformat()
+        self._dirty = True
+        self._log(
+            f"Updated embeddings for {student.name} ({student_id}): "
+            f"{len(updated)} total embeddings"
+        )
+        return True
+
+    def delete_student(self, student_id: str) -> bool:
+        if student_id not in self.students:
+            self._log(f"Student {student_id} not found")
+            return False
+        name = self.students.pop(student_id).name
+        self._dirty = True
+        self._log(f"Deleted student: {name} ({student_id})")
+        return True
+
+    # --------------------------------------------------------------- access
+
+    def get_student(self, student_id: str) -> Optional[StudentRecord]:
+        return self.students.get(student_id)
+
+    def get_all_students(self) -> Dict[str, StudentRecord]:
+        return self.students
+
+    def get_gallery_embeddings(self) -> Tuple[np.ndarray, List[str]]:
+        """Stacked template matrix + ids (reference gallery_manager.py:177-187)."""
+        if not self.students:
+            return np.array([]), []
+        ids = list(self.students.keys())
+        return (
+            np.vstack([self.students[sid].template_embedding for sid in ids]),
+            ids,
+        )
+
+    # --------------------------------------------------------------- search
+
+    def _sync_device(self) -> None:
+        if self._dirty:
+            templates, ids = self.get_gallery_embeddings()
+            self._device.rebuild(ids, templates if len(ids) else np.zeros((0, 512)))
+            self._dirty = False
+
+    def search(
+        self, query_embedding: np.ndarray, top_k: int = 5
+    ) -> List[Tuple[str, str, float]]:
+        """Top-k (student_id, name, cosine) for one query — device matmul."""
+        if not self.students:
+            return []
+        self._sync_device()
+        scores, ids = self._device.search(
+            np.asarray(query_embedding, dtype=np.float32)[None], top_k
+        )
+        return [
+            (sid, self.students[sid].name, float(score))
+            for sid, score in zip(ids[0], scores[0])
+        ]
+
+    def search_batch(
+        self, query_embeddings: np.ndarray, top_k: int = 5
+    ) -> List[List[Tuple[str, str, float]]]:
+        """Batched variant for serving: [Q,512] -> per-query result lists."""
+        if not self.students:
+            return [[] for _ in range(len(query_embeddings))]
+        self._sync_device()
+        scores, ids = self._device.search(
+            np.asarray(query_embeddings, dtype=np.float32), top_k
+        )
+        return [
+            [
+                (sid, self.students[sid].name, float(score))
+                for sid, score in zip(row_ids, row_scores)
+            ]
+            for row_ids, row_scores in zip(ids, scores)
+        ]
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: Optional[str] = None) -> None:
+        """Pickle of {sid: StudentRecord} + JSON metadata sidecar — the
+        reference's artifact schema (gallery_manager.py:207-232)."""
+        save_path = path or self.gallery_path
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        with open(save_path, "wb") as f:
+            pickle.dump(self.students, f)
+
+        json_path = save_path.replace(".pkl", ".json")
+        json_data = {
+            "num_students": len(self.students),
+            "last_saved": datetime.now().isoformat(),
+            "students": {
+                sid: {
+                    "student_id": s.student_id,
+                    "name": s.name,
+                    "num_samples": s.num_samples,
+                    "enrollment_date": s.enrollment_date,
+                    "last_updated": s.last_updated,
+                    "metadata": s.metadata,
+                }
+                for sid, s in self.students.items()
+            },
+        }
+        with open(json_path, "w") as f:
+            json.dump(json_data, f, indent=2)
+        self._log(f"Gallery saved to {save_path}")
+        self._log(f"Metadata saved to {json_path}")
+
+    def load(self, path: Optional[str] = None) -> None:
+        load_path = path or self.gallery_path
+        if not os.path.exists(load_path):
+            self._log(f"Gallery file not found: {load_path}")
+            return
+        with open(load_path, "rb") as f:
+            self.students = _CompatUnpickler(f).load()
+        self._dirty = True
+        self._log(f"Gallery loaded from {load_path}")
+
+    def load_from_backup_json(self, json_path: str) -> None:
+        """Restore full records from an export_for_backup JSON (embeddings
+        included) — usable to ingest reference-produced backups without pickle."""
+        with open(json_path) as f:
+            data = json.load(f)
+        self.students = {
+            sid: StudentRecord.from_dict(rec) for sid, rec in data["students"].items()
+        }
+        self._dirty = True
+        self._log(f"Gallery restored from backup {json_path}")
+
+    def export_for_backup(self, backup_dir: str, backup_name: Optional[str] = None) -> str:
+        """Timestamped pkl copy + full-record JSON (gallery_manager.py:246-270)."""
+        os.makedirs(backup_dir, exist_ok=True)
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        base = f"{backup_name}_backup_{stamp}" if backup_name else f"gallery_backup_{stamp}"
+        pkl_path = os.path.join(backup_dir, f"{base}.pkl")
+        json_path = os.path.join(backup_dir, f"{base}.json")
+
+        if os.path.exists(self.gallery_path):
+            shutil.copy2(self.gallery_path, pkl_path)
+        else:
+            with open(pkl_path, "wb") as f:
+                pickle.dump(self.students, f)
+
+        json_data = {
+            "backup_date": datetime.now().isoformat(),
+            "backup_name": backup_name,
+            "num_students": len(self.students),
+            "students": {sid: s.to_dict() for sid, s in self.students.items()},
+        }
+        with open(json_path, "w") as f:
+            json.dump(json_data, f, indent=2)
+        self._log(f"Backup saved to {backup_dir}")
+        return json_path
+
+    # ------------------------------------------------------------ analytics
+
+    def get_statistics(self) -> Dict:
+        if not self.students:
+            return {
+                "num_students": 0,
+                "total_embeddings": 0,
+                "avg_embeddings_per_student": 0,
+            }
+        total = sum(s.num_samples for s in self.students.values())
+        return {
+            "num_students": len(self.students),
+            "total_embeddings": total,
+            "avg_embeddings_per_student": total / len(self.students),
+            "students": [
+                {
+                    "id": s.student_id,
+                    "name": s.name,
+                    "num_samples": s.num_samples,
+                    "enrollment_date": s.enrollment_date,
+                }
+                for s in self.students.values()
+            ],
+        }
+
+    # ----------------------------------------------------------- aggregation
+
+    def _filter_quality_embeddings(
+        self, embeddings: np.ndarray, min_similarity: float = 0.70
+    ) -> np.ndarray:
+        """Drop embeddings whose mean intra-similarity is below threshold,
+        always keeping >=2 (reference gallery_manager.py:104-122)."""
+        if len(embeddings) <= 2:
+            return embeddings
+        sims = np.dot(embeddings, embeddings.T)
+        np.fill_diagonal(sims, 0)
+        avg = np.mean(sims, axis=1)
+        mask = avg >= min_similarity
+        filtered = embeddings[mask]
+        if len(filtered) < 2:
+            filtered = embeddings[np.argsort(avg)[-2:]]
+        self._log(
+            f"    Quality filter: kept {len(filtered)}/{len(embeddings)} "
+            f"embeddings (threshold={min_similarity})"
+        )
+        return filtered
+
+    def _aggregate_embeddings(self, embeddings: np.ndarray) -> np.ndarray:
+        if len(embeddings) == 1:
+            return embeddings[0]
+        embeddings = self._filter_quality_embeddings(embeddings)
+        if self.aggregation_method == "median":
+            agg = np.median(embeddings, axis=0)
+        elif self.aggregation_method == "weighted_mean":
+            sims = np.dot(embeddings, embeddings.T)
+            weights = np.mean(sims, axis=1)
+            weights = weights / np.sum(weights)
+            agg = np.sum(embeddings * weights[:, None], axis=0)
+        else:  # 'mean' and unknown methods fall back to mean, like the reference
+            agg = np.mean(embeddings, axis=0)
+        return agg / (np.linalg.norm(agg) + _EPS)
+
+    def _remove_outliers(
+        self, embeddings: np.ndarray, threshold: float = 0.7
+    ) -> np.ndarray:
+        """Keep embeddings whose mean similarity >= median * threshold
+        (reference gallery_manager.py:319-330)."""
+        if len(embeddings) <= 2:
+            return embeddings
+        sims = np.dot(embeddings, embeddings.T)
+        avg = np.mean(sims, axis=1)
+        return embeddings[avg >= np.median(avg) * threshold]

@@ -1,0 +1,138 @@
+"""Device-side gallery search: one matmul + top-k, optionally sharded.
+
+Replaces the reference's per-query host loop (`gallery_manager.py:189-205`:
+re-vstack all templates, numpy dot, argsort) with an HBM-resident padded
+template matrix and a jitted `[Q,512] @ [512,G] -> top_k` program. For large
+galleries the template matrix shards across the mesh on the G axis
+(`shard_map`), each chip computes its local top-k, and a single small
+all-gather merges candidates — the collective rides ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_EPS = 1e-8
+_NEG = -1e9
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def cosine_topk(
+    queries: jax.Array,
+    templates: jax.Array,
+    valid: jax.Array,
+    top_k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k cosine matches of normalized queries against padded templates.
+
+    queries [Q,512] (normalized on entry), templates [G,512] (rows for padded
+    slots are zero), valid [G] bool. Returns (scores [Q,k], indices [Q,k]).
+    """
+    q = queries / (jnp.linalg.norm(queries, axis=1, keepdims=True) + _EPS)
+    sims = jnp.dot(
+        q, templates.T, preferred_element_type=jnp.float32
+    )  # [Q, G] — the MXU op
+    sims = jnp.where(valid[None, :], sims, _NEG)
+    return jax.lax.top_k(sims, top_k)
+
+
+def sharded_cosine_topk(
+    mesh: Mesh,
+    queries: jax.Array,
+    templates: jax.Array,
+    valid: jax.Array,
+    top_k: int,
+    axis: str = "gallery",
+):
+    """Gallery-sharded search: templates split on the G axis across `mesh`.
+
+    Each device computes local top-k over its shard, then the [Q, D*k]
+    candidate set (tiny) is all-gathered and reduced to the global top-k.
+    Communication: D*k scores+indices per query instead of G similarities.
+    """
+    n_dev = mesh.shape[axis]
+    g = templates.shape[0]
+    assert g % n_dev == 0, "pad gallery to a multiple of the mesh axis"
+    shard = g // n_dev
+
+    def local(q, t, v):
+        qn = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
+        sims = jnp.dot(qn, t.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(v[None, :], sims, _NEG)
+        s, i = jax.lax.top_k(sims, top_k)
+        base = jax.lax.axis_index(axis) * shard
+        s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, D*k]
+        i = jax.lax.all_gather(i + base, axis, axis=1, tiled=True)
+        gs, gi = jax.lax.top_k(s, top_k)
+        return gs, jnp.take_along_axis(i, gi, axis=1)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        # outputs are replicated by the tiled all_gather; the static VMA
+        # check can't see through top_k, so disable it.
+        check_vma=False,
+    )
+    return fn(queries, templates, valid)
+
+
+class DeviceGallery:
+    """HBM-resident padded template matrix with lazy rebuild.
+
+    Fixes the reference inefficiency of re-stacking gallery templates on
+    every query (`gallery_manager.py:194`): the matrix is rebuilt only when
+    identities change, padded to a multiple of 128 rows so the matmul tiles
+    cleanly onto the MXU and recompilations are rare.
+    """
+
+    def __init__(self, dim: int = 512, pad_multiple: int = 128):
+        self.dim = dim
+        self.pad_multiple = pad_multiple
+        self._ids: list[str] = []
+        self._templates: jax.Array | None = None
+        self._valid: jax.Array | None = None
+
+    def rebuild(self, ids: list[str], templates: np.ndarray) -> None:
+        """ids: G identity keys; templates: [G, dim] float32."""
+        g = len(ids)
+        gp = max(_pad_to(g, self.pad_multiple), self.pad_multiple)
+        mat = np.zeros((gp, self.dim), dtype=np.float32)
+        val = np.zeros((gp,), dtype=bool)
+        if g:
+            mat[:g] = templates
+            val[:g] = True
+        self._ids = list(ids)
+        self._templates = jnp.asarray(mat)
+        self._valid = jnp.asarray(val)
+
+    @property
+    def size(self) -> int:
+        return len(self._ids)
+
+    def search(
+        self, queries: np.ndarray | jax.Array, top_k: int = 5
+    ) -> tuple[np.ndarray, list[list[str]]]:
+        """queries [Q,dim] -> (scores [Q,k] f32, ids [Q][k]).
+
+        k is clipped to the number of enrolled identities.
+        """
+        if not self._ids:
+            return np.zeros((len(queries), 0), np.float32), [[] for _ in queries]
+        k = min(top_k, len(self._ids))
+        q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+        scores, idx = cosine_topk(q, self._templates, self._valid, k)
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        ids = [[self._ids[j] for j in row] for row in idx]
+        return scores, ids
