@@ -152,6 +152,68 @@ def warp_affine(
     return top * (1.0 - wy) + bot * wy
 
 
+def bilinear_sample(image: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array:
+    """Bilinear-sample ONE image at float coords with zero outside.
+
+    image [H,W,C]; sx/sy any shape S. Returns [*S, C] float32. Gathers from
+    the flattened image (no image broadcast), so sampling many crops of one
+    frame costs O(|S|) memory.
+    """
+    h, w, c = image.shape
+    flat = image.astype(jnp.float32).reshape(h * w, c)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        return jnp.take(flat, idx, axis=0) * inb[..., None].astype(jnp.float32)
+
+    top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x0i + 1) * wx
+    bot = gather(y0i + 1, x0i) * (1 - wx) + gather(y0i + 1, x0i + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def warp_affine_single(
+    image: jax.Array, matrices: jax.Array, out_h: int, out_w: int
+) -> jax.Array:
+    """Extract F affine-warped crops from ONE image.
+
+    image [H,W,C]; matrices [F,2,3] FORWARD maps (src->dst). Returns
+    [F,out_h,out_w,C] float32 without materializing F image copies.
+    """
+    inv = invert_affine(matrices)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    sx = inv[:, 0, 0, None, None] * gx + inv[:, 0, 1, None, None] * gy + inv[:, 0, 2, None, None]
+    sy = inv[:, 1, 0, None, None] * gx + inv[:, 1, 1, None, None] * gy + inv[:, 1, 2, None, None]
+    return bilinear_sample(image, sx, sy)
+
+
+def crop_resize(image: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
+    """Crop boxes [N,4] (x1,y1,x2,y2 float pixels) from one image and resize
+    to [N,out_size,out_size,C] with bilinear sampling (half-pixel centers).
+
+    The detector cascade's patch extractor (replaces the reference's
+    per-box cv2 crop+resize loops) — one gather kernel for all boxes.
+    """
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bw = jnp.maximum(x2 - x1, 1e-6)
+    bh = jnp.maximum(y2 - y1, 1e-6)
+    t = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    sx = x1[:, None, None] + bw[:, None, None] * t[None, None, :] - 0.5
+    sy = y1[:, None, None] + bh[:, None, None] * t[None, :, None] - 0.5
+    sx = jnp.broadcast_to(sx, (boxes.shape[0], out_size, out_size))
+    sy = jnp.broadcast_to(sy, (boxes.shape[0], out_size, out_size))
+    return bilinear_sample(image, sx, sy)
+
+
 def align_faces(
     image: jax.Array,
     landmarks: jax.Array,
@@ -165,7 +227,5 @@ def align_faces(
     The vectorized equivalent of reference `FaceAligner.align`
     (face_recognition.py:61-75) over all faces of a frame at once.
     """
-    f = landmarks.shape[0]
     mats = similarity_transform(landmarks, template)
-    imgs = jnp.broadcast_to(image[None], (f, *image.shape))
-    return warp_affine(imgs, mats, output_size, output_size)
+    return warp_affine_single(image, mats, output_size, output_size)

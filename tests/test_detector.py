@@ -1,0 +1,133 @@
+"""Detector cascade machinery tests (random weights: shapes, masks, coords)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from facerecognitionpipeline_tpu.models.detector import MTCNNDetector, _square
+from facerecognitionpipeline_tpu.ops.warp import crop_resize
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return MTCNNDetector(det_size=(160, 160), max_faces=8, min_face_size=20)
+
+
+def test_crop_resize_matches_cv2(rng):
+    img = rng.integers(0, 256, size=(100, 120, 3), dtype=np.uint8)
+    boxes = np.array([[10, 20, 58, 68], [0, 0, 50, 50]], np.float32)
+    crops = np.asarray(crop_resize(img.astype(np.float32), boxes, 24))
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        golden = cv2.resize(
+            img[y1:y2, x1:x2].astype(np.float32), (24, 24),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        np.testing.assert_allclose(crops[i], golden, atol=1.0)
+
+
+def test_square_boxes():
+    boxes = np.array([[0, 0, 10, 20], [5, 5, 25, 15]], np.float32)
+    sq = np.asarray(_square(boxes))
+    w = sq[:, 2] - sq[:, 0]
+    h = sq[:, 3] - sq[:, 1]
+    np.testing.assert_allclose(w, h)
+    np.testing.assert_allclose(w, [20, 20])
+    # centers preserved
+    np.testing.assert_allclose((sq[:, 0] + sq[:, 2]) / 2, [5, 15])
+
+
+def test_cascade_output_schema(detector, rng):
+    frame = rng.integers(0, 256, size=(160, 160, 3), dtype=np.uint8)
+    out = detector._detect_one(detector.variables, frame.astype(np.float32))
+    assert out["bboxes"].shape == (8, 4)
+    assert out["scores"].shape == (8,)
+    assert out["landmarks"].shape == (8, 5, 2)
+    assert out["valid"].shape == (8,)
+    scores = np.asarray(out["scores"])
+    valid = np.asarray(out["valid"])
+    # invalid slots report score 0
+    assert (scores[~valid] == 0).all()
+    # boxes are clipped to the frame
+    b = np.asarray(out["bboxes"])
+    assert (b >= 0).all() and (b <= 159).all()
+
+
+def test_detect_batch_shapes(detector, rng):
+    frames = rng.integers(0, 256, size=(2, 160, 160, 3), dtype=np.uint8)
+    out = detector.detect_device(frames.astype(np.float32))
+    assert out["bboxes"].shape == (2, 8, 4)
+    assert out["valid"].shape == (2, 8)
+
+
+def test_detect_host_api(detector, rng):
+    image = rng.integers(0, 256, size=(200, 300, 3), dtype=np.uint8)
+    faces = detector.detect(image)
+    assert isinstance(faces, list)
+    for f in faces:
+        assert set(f) >= {"bbox", "landmarks", "det_score"}
+        assert f["bbox"].dtype == np.int32
+        assert f["landmarks"].shape == (5, 2)
+    scores = [f["det_score"] for f in faces]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_npz_weight_roundtrip(detector, tmp_path, rng):
+    path = str(tmp_path / "det.npz")
+    detector.save_npz(path)
+    det2 = MTCNNDetector(det_size=(160, 160), max_faces=8, weights_path=path)
+    frame = rng.integers(0, 256, size=(160, 160, 3), dtype=np.uint8).astype(np.float32)
+    a = detector._detect_one(detector.variables, frame)
+    b = det2._detect_one(det2.variables, frame)
+    np.testing.assert_allclose(np.asarray(a["scores"]), np.asarray(b["scores"]), atol=1e-6)
+
+
+def test_torch_statedict_import(rng):
+    """Public-layout MTCNN torch statedicts convert and run."""
+    import torch
+
+    from facerecognitionpipeline_tpu.models.detector_nets import (
+        ONet, PNet, RNet, load_mtcnn_torch_statedict,
+    )
+
+    torch.manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape) * 0.1
+
+    pnet_sd = {
+        "conv1.weight": t(10, 3, 3, 3), "conv1.bias": t(10), "prelu1.weight": t(10),
+        "conv2.weight": t(16, 10, 3, 3), "conv2.bias": t(16), "prelu2.weight": t(16),
+        "conv3.weight": t(32, 16, 3, 3), "conv3.bias": t(32), "prelu3.weight": t(32),
+        "conv4_1.weight": t(2, 32, 1, 1), "conv4_1.bias": t(2),
+        "conv4_2.weight": t(4, 32, 1, 1), "conv4_2.bias": t(4),
+    }
+    rnet_sd = {
+        "conv1.weight": t(28, 3, 3, 3), "conv1.bias": t(28), "prelu1.weight": t(28),
+        "conv2.weight": t(48, 28, 3, 3), "conv2.bias": t(48), "prelu2.weight": t(48),
+        "conv3.weight": t(64, 48, 2, 2), "conv3.bias": t(64), "prelu3.weight": t(64),
+        "dense4.weight": t(128, 576), "dense4.bias": t(128), "prelu4.weight": t(128),
+        "dense5_1.weight": t(2, 128), "dense5_1.bias": t(2),
+        "dense5_2.weight": t(4, 128), "dense5_2.bias": t(4),
+    }
+    onet_sd = {
+        "conv1.weight": t(32, 3, 3, 3), "conv1.bias": t(32), "prelu1.weight": t(32),
+        "conv2.weight": t(64, 32, 3, 3), "conv2.bias": t(64), "prelu2.weight": t(64),
+        "conv3.weight": t(64, 64, 3, 3), "conv3.bias": t(64), "prelu3.weight": t(64),
+        "conv4.weight": t(128, 64, 2, 2), "conv4.bias": t(128), "prelu4.weight": t(128),
+        "dense5.weight": t(256, 1152), "dense5.bias": t(256), "prelu5.weight": t(256),
+        "dense6_1.weight": t(2, 256), "dense6_1.bias": t(2),
+        "dense6_2.weight": t(4, 256), "dense6_2.bias": t(4),
+        "dense6_3.weight": t(10, 256), "dense6_3.bias": t(10),
+    }
+    variables = load_mtcnn_torch_statedict(
+        {"pnet": pnet_sd, "rnet": rnet_sd, "onet": onet_sd}
+    )
+    x24 = rng.normal(size=(2, 24, 24, 3)).astype(np.float32)
+    x48 = rng.normal(size=(2, 48, 48, 3)).astype(np.float32)
+    x12 = rng.normal(size=(1, 12, 12, 3)).astype(np.float32)
+    prob, reg = PNet().apply(variables["pnet"], x12)
+    assert prob.shape == (1, 1, 1) and reg.shape == (1, 1, 1, 4)
+    prob, reg = RNet().apply(variables["rnet"], x24)
+    assert prob.shape == (2,) and reg.shape == (2, 4)
+    prob, reg, lmk = ONet().apply(variables["onet"], x48)
+    assert prob.shape == (2,) and lmk.shape == (2, 5, 2)
