@@ -1,0 +1,107 @@
+"""Benchmark: end-to-end faces/sec/chip for the fused recognition step.
+
+Measures the flagship path — MTCNN cascade detection on 640x640 frames,
+batched warp alignment, quality gate, IR-101 bf16 embedding, gallery matmul +
+top-k — as ONE jitted program on the real chip. Faces/sec counts processed
+face slots (B x MAX_FACES): fixed-shape batching does the full compute for
+every slot, so this is the honest device-throughput number.
+
+Baseline: the reference's serial recognition path averages 74.85 ms/face
+(AdaFace ir_101 on a CUDA GPU; BASELINE.md), i.e. ~13.36 faces/sec.
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import os
+
+    import jax
+
+    # Persistent compilation cache: the fused 640px pipeline takes minutes to
+    # compile cold; cached re-runs (e.g. the driver's bench) start instantly.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from facerecognitionpipeline_tpu.gallery.search import DeviceGallery
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+    from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
+    from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
+
+    B = 8           # frames per step (multi-client batch)
+    MAX_FACES = 16  # face slots per frame
+    GALLERY = 1024  # enrolled identities (padded)
+
+    rng = np.random.default_rng(0)
+    detector = MTCNNDetector(
+        det_size=(640, 640), max_faces=MAX_FACES, min_face_size=40,
+        dtype=jnp.bfloat16,
+    )
+    embedder = FaceEmbedder(architecture="ir_101", dtype=jnp.bfloat16)
+    engine = RecognitionEngine(detector, embedder, top_k=3)
+
+    gallery = DeviceGallery()
+    templates = rng.normal(size=(GALLERY, 512)).astype(np.float32)
+    templates /= np.linalg.norm(templates, axis=1, keepdims=True)
+    gallery.rebuild([f"id{i}" for i in range(GALLERY)], templates)
+
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(B, 640, 640, 3), dtype=np.uint8)
+    )
+
+    def step():
+        out = engine._step(
+            detector.variables,
+            embedder.variables,
+            gallery._templates,
+            gallery._valid,
+            frames,
+            gallery_k=3,
+        )
+        jax.block_until_ready(out["match_scores"])
+        return out
+
+    # warmup / compile
+    step()
+    step()
+
+    iters = 10
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        step()
+        times.append(time.perf_counter() - t0)
+
+    times = np.array(times)
+    faces_per_sec = B * MAX_FACES / times.mean()
+    p50_ms = float(np.percentile(times, 50) * 1000)
+
+    baseline_faces_per_sec = 1000.0 / 74.85  # reference AdaFace ir_101 serial
+    print(
+        json.dumps(
+            {
+                "metric": "faces/sec/chip detect+align+embed+match (ir_101, bf16)",
+                "value": round(float(faces_per_sec), 2),
+                "unit": "faces/sec",
+                "vs_baseline": round(float(faces_per_sec / baseline_faces_per_sec), 2),
+                "p50_step_ms": round(p50_ms, 2),
+                "frames_per_step": B,
+                "face_slots_per_frame": MAX_FACES,
+                "gallery_size": GALLERY,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

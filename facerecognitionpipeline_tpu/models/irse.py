@@ -32,6 +32,7 @@ import jax.numpy as jnp
 # (depth, num_units, stride of first unit) per stage; channels double per stage.
 # Unit counts follow the AdaFace zoo layer recipes.
 BACKBONE_CONFIGS: dict[str, dict[str, Any]] = {
+    "ir_micro": {"units": (1, 1, 1, 1), "use_se": False},  # smoke tests only
     "ir_18": {"units": (2, 2, 2, 2), "use_se": False},
     "ir_34": {"units": (3, 4, 6, 3), "use_se": False},
     "ir_50": {"units": (3, 4, 14, 3), "use_se": False},

@@ -1,0 +1,127 @@
+"""RecognitionEngine: the fused detect->align->gate->embed->match device step.
+
+This is the latency-critical path the reference spreads over Python loops,
+ONNX, torch and numpy (`face_recognition_server.py:586-739` calls detect, a
+per-face b64 encode, per-face embed, per-query gallery search). Here it is
+ONE jitted XLA program per (batch, det_size) shape:
+
+    frames [B,H,W,3] u8 ──> cascade ──> batched warp-align ──> quality gate
+        ──> IR backbone over [B*F,112,112,3] ──> gallery matmul + top-k
+
+so concurrent client streams amortize the MXU work (BASELINE.json north
+star). Host code only decodes images into the fixed-shape input buffer and
+reads back small result arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerecognitionpipeline_tpu.gallery.search import cosine_topk
+from facerecognitionpipeline_tpu.ops.image import normalize_face_batch
+from facerecognitionpipeline_tpu.ops.quality import QualityConfig, quality_check
+from facerecognitionpipeline_tpu.ops.warp import align_faces, reference_template
+
+
+class RecognitionEngine:
+    """Owns the jitted full-pipeline step; state (weights, gallery) in HBM."""
+
+    def __init__(
+        self,
+        detector,
+        embedder,
+        quality_config: Optional[QualityConfig] = None,
+        top_k: int = 3,
+        align_size: int = 112,
+    ):
+        self.detector = detector
+        self.embedder = embedder
+        self.quality_config = quality_config or QualityConfig(
+            min_det_score=0.5, min_face_size=40, check_blur=True, blur_threshold=50.0
+        )
+        self.top_k = top_k
+        self.align_size = align_size
+        self._template = jnp.asarray(reference_template(align_size))
+        self._step = jax.jit(self._step_impl, static_argnames=("gallery_k",))
+
+    # ------------------------------------------------------------ device step
+
+    def _per_frame(self, frame_f32, det):
+        aligned = align_faces(
+            frame_f32, det["landmarks"], self._template, self.align_size
+        )
+        aligned = jnp.clip(jnp.round(aligned), 0.0, 255.0)
+        ok, metrics = quality_check(
+            det["scores"],
+            det["bboxes"],
+            det["landmarks"],
+            self.quality_config,
+            aligned_faces=aligned if self.quality_config.check_blur else None,
+            valid_mask=det["valid"],
+        )
+        return aligned, ok, metrics
+
+    def _step_impl(
+        self,
+        det_vars,
+        emb_vars,
+        templates,
+        templates_valid,
+        frames,
+        gallery_k,
+    ):
+        """frames [B,H,W,3] raw RGB -> everything, no host round-trips."""
+        frames_f32 = frames.astype(jnp.float32)
+        det = self.detector._detect_batch(det_vars, frames_f32)
+
+        aligned, ok, metrics = jax.vmap(self._per_frame)(frames_f32, det)
+        b, f = aligned.shape[:2]
+
+        # One backbone forward for every face slot of every frame.
+        x = normalize_face_batch(
+            aligned.reshape(b * f, self.align_size, self.align_size, 3),
+            dtype=self.embedder._dtype,
+        )
+        feats, norms = self.embedder.model.apply(emb_vars, x)
+        feats = feats.reshape(b, f, -1)
+
+        scores, idx = cosine_topk(
+            feats.reshape(b * f, -1), templates, templates_valid, gallery_k
+        )
+        return {
+            "bboxes": det["bboxes"],
+            "det_scores": det["scores"],
+            "landmarks": det["landmarks"],
+            "face_valid": det["valid"],
+            "quality_ok": ok,
+            "quality_metrics": metrics,
+            "aligned": aligned,
+            "embeddings": feats,
+            "embedding_norms": norms.reshape(b, f),
+            "match_scores": scores.reshape(b, f, gallery_k),
+            "match_idx": idx.reshape(b, f, gallery_k),
+        }
+
+    # ---------------------------------------------------------------- host API
+
+    def process_frames(
+        self,
+        frames: np.ndarray,
+        gallery_templates: jax.Array,
+        gallery_valid: jax.Array,
+        gallery_k: Optional[int] = None,
+    ) -> dict:
+        """Host entry: [B,H,W,3] uint8 (det_size) -> device result dict."""
+        return self._step(
+            self.detector.variables,
+            self.embedder.variables,
+            gallery_templates,
+            gallery_valid,
+            jnp.asarray(frames),
+            gallery_k=gallery_k or self.top_k,
+        )

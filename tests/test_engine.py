@@ -1,0 +1,37 @@
+"""Fused recognition-engine step: shape/mask contract on tiny configs."""
+
+import numpy as np
+import pytest
+
+from facerecognitionpipeline_tpu.gallery.search import DeviceGallery
+from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
+from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    detector = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
+    embedder = FaceEmbedder(architecture="ir_micro")
+    return RecognitionEngine(detector, embedder, top_k=2)
+
+
+def test_full_step_shapes(engine, rng):
+    frames = rng.integers(0, 256, size=(2, 160, 160, 3), dtype=np.uint8)
+    dg = DeviceGallery()
+    t = rng.normal(size=(5, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    dg.rebuild([f"id{i}" for i in range(5)], t)
+
+    out = engine.process_frames(frames, dg._templates, dg._valid, gallery_k=2)
+    assert out["bboxes"].shape == (2, 4, 4)
+    assert out["embeddings"].shape == (2, 4, 512)
+    assert out["match_scores"].shape == (2, 4, 2)
+    assert out["match_idx"].shape == (2, 4, 2)
+    assert out["aligned"].shape == (2, 4, 112, 112, 3)
+    assert out["quality_ok"].shape == (2, 4)
+    # embeddings are unit-norm even for padded slots (fixed-shape compute)
+    norms = np.linalg.norm(np.asarray(out["embeddings"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # match idx within gallery pad bounds
+    assert (np.asarray(out["match_idx"]) >= 0).all()
