@@ -152,12 +152,15 @@ def warp_affine(
     return top * (1.0 - wy) + bot * wy
 
 
-def bilinear_sample(image: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array:
-    """Bilinear-sample ONE image at float coords with zero outside.
+def bilinear_sample(
+    image: jax.Array, sx: jax.Array, sy: jax.Array, border: str = "zero"
+) -> jax.Array:
+    """Bilinear-sample ONE image at float coords.
 
     image [H,W,C]; sx/sy any shape S. Returns [*S, C] float32. Gathers from
     the flattened image (no image broadcast), so sampling many crops of one
-    frame costs O(|S|) memory.
+    frame costs O(|S|) memory. border='zero' (cv2 BORDER_CONSTANT 0) or
+    'replicate' (cv2 BORDER_REPLICATE: clamp to edge).
     """
     h, w, c = image.shape
     flat = image.astype(jnp.float32).reshape(h * w, c)
@@ -169,10 +172,15 @@ def bilinear_sample(image: jax.Array, sx: jax.Array, sy: jax.Array) -> jax.Array
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def gather(yi, xi):
-        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        return jnp.take(flat, idx, axis=0) * inb[..., None].astype(jnp.float32)
+    if border == "replicate":
+        def gather(yi, xi):
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            return jnp.take(flat, idx, axis=0)
+    else:
+        def gather(yi, xi):
+            inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            return jnp.take(flat, idx, axis=0) * inb[..., None].astype(jnp.float32)
 
     top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x0i + 1) * wx
     bot = gather(y0i + 1, x0i) * (1 - wx) + gather(y0i + 1, x0i + 1) * wx
