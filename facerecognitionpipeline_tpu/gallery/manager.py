@@ -211,6 +211,17 @@ class GalleryManager:
             self._device.rebuild(ids, templates if len(ids) else np.zeros((0, 512)))
             self._dirty = False
 
+    def device_arrays(self):
+        """(templates [Gpad,512], valid [Gpad]) device arrays for fused engines."""
+        self._sync_device()
+        return self._device._templates, self._device._valid
+
+    def id_at(self, index: int) -> Optional[str]:
+        """Gallery pad-index -> student_id (None for padded slots)."""
+        self._sync_device()
+        ids = self._device._ids
+        return ids[index] if 0 <= index < len(ids) else None
+
     def search(
         self, query_embedding: np.ndarray, top_k: int = 5
     ) -> List[Tuple[str, str, float]]:

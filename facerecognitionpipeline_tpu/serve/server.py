@@ -1,0 +1,721 @@
+"""Streaming recognition server: HTTP edge + batched TPU recognition core.
+
+API-compatible rebuild of the reference Flask server
+(`face_recognition_server.py:126-1105`): same routes (GET /health, POST
+/init_session /process_frame /save_snapshot /finalize), same request/response
+payloads (base64 PNG frames in; tracks / recognized_tracks /
+recognition_attempts / failed_tracks / newly_recognized / newly_failed /
+performance out), same session artifacts (`session.json`, `attendance.json`,
+recognized/unrecognized face crops, snapshots, performance reports).
+
+TPU-native core, and deliberate fixes over the reference:
+* every frame runs the ONE fused jitted detect->align->gate->embed->match
+  program via `DeviceBatcher`, so concurrent clients share MXU batches —
+  recognition reuses the per-face top-k already computed on device instead of
+  re-embedding the buffered crop (`face_recognition_server.py:314-347`);
+* no Flask dependency: stdlib ThreadingHTTPServer;
+* per-face base64 PNG round-trips inside the request path are gone — aligned
+  crops stay numpy until persisted (the reference encoded every face every
+  frame, `face_recognition_server.py:796-823`);
+* server-side tracking actually works: the reference's
+  `_simple_track_assignment` reads `client_tracks` that nothing ever updates
+  (update call commented out at face_recognition_server.py:792), so every
+  face got a fresh track id; we use a real centroid tracker;
+* stale-track cleanup exists on the right object
+  (reference bug face_recognition_server.py:355 vs :825).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import threading
+import traceback
+from datetime import datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+from facerecognitionpipeline_tpu.models.irse import BACKBONE_CONFIGS
+from facerecognitionpipeline_tpu.ops.quality import QualityConfig
+from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+from facerecognitionpipeline_tpu.serve.tracker import (
+    LiveRecognitionTracker,
+    SimpleTracker,
+)
+from facerecognitionpipeline_tpu.telemetry.monitor import PerformanceMonitorServer
+from facerecognitionpipeline_tpu.utils.io import imwrite_rgb
+
+
+def _decode_image_b64(data: str) -> Optional[np.ndarray]:
+    """base64 (PNG/JPEG bytes) -> RGB uint8 array."""
+    try:
+        import cv2
+
+        raw = base64.b64decode(data)
+        img = cv2.imdecode(np.frombuffer(raw, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except Exception:
+        return None
+
+
+def _encode_png_bytes(image_rgb: np.ndarray) -> bytes:
+    import cv2
+
+    arr = np.clip(np.asarray(image_rgb), 0, 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
+    return buf.tobytes() if ok else b""
+
+
+class FaceRecognitionServer:
+    """Session + recognition core; the HTTP layer delegates here."""
+
+    def __init__(
+        self,
+        gallery_path: str = "gallery/students.pkl",
+        similarity_threshold: float = 0.5,
+        output_dir: str = "sessions",
+        session_name: Optional[str] = None,
+        model_type: str = "adaface",
+        architecture: str = "ir_101",
+        model_path: Optional[str] = None,
+        det_size: tuple[int, int] = (640, 640),
+        max_faces: int = 16,
+        recognition_interval: int = 30,
+        max_recognition_attempts: int = 3,
+        frame_buffer_size: int = 10,
+        max_tracking_distance: float = 100.0,
+        high_quality_crop_size: int = 600,
+        enable_performance_monitoring: bool = True,
+        batch_max: int = 8,
+        batch_wait_ms: float = 5.0,
+        engine=None,
+        gallery: Optional[GalleryManager] = None,
+    ):
+        self.similarity_threshold = similarity_threshold
+        self.output_dir = output_dir
+        self.model_type = model_type
+        self.architecture = architecture
+        self.det_size = det_size
+        self.recognition_interval = recognition_interval
+        self.max_recognition_attempts = max_recognition_attempts
+        self.frame_buffer_size = frame_buffer_size
+        self.max_tracking_distance = max_tracking_distance
+        self.high_quality_crop_size = high_quality_crop_size
+        self.enable_performance_monitoring = enable_performance_monitoring
+
+        self.gallery = gallery or GalleryManager(gallery_path=gallery_path)
+
+        if engine is None:
+            import jax.numpy as jnp
+
+            from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+            from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
+            from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
+
+            detector = MTCNNDetector(
+                det_size=det_size, det_thresh=0.5, max_faces=max_faces,
+                min_face_size=40, dtype=jnp.bfloat16,
+            )
+            embedder = FaceEmbedder(
+                architecture=architecture, model_type=model_type,
+                model_path=model_path, dtype=jnp.bfloat16,
+            )
+            engine = RecognitionEngine(
+                detector,
+                embedder,
+                quality_config=QualityConfig(
+                    min_det_score=0.5, min_face_size=40,
+                    check_blur=True, blur_threshold=50.0,
+                ),
+                top_k=3,
+            )
+        self.engine = engine
+        self.batcher = DeviceBatcher(
+            engine, self.gallery.device_arrays,
+            max_batch=batch_max, max_wait_ms=batch_wait_ms, top_k=3,
+        )
+        self.batcher.start()
+
+        # session state
+        self.session_name: Optional[str] = None
+        self.session_dir: Optional[str] = None
+        self.perf_monitor: Optional[PerformanceMonitorServer] = None
+        self.tracker: Optional[LiveRecognitionTracker] = None
+        self.motion_tracker: Optional[SimpleTracker] = None
+        self.session_start: Optional[datetime] = None
+        self.frame_count = 0
+        self.total_faces_detected = 0
+        self.total_recognition_attempts = 0
+        self._lock = threading.Lock()
+
+        if session_name:
+            self._create_session(session_name)
+
+    # --------------------------------------------------------------- session
+
+    def _create_session(self, session_name: str) -> None:
+        self.session_name = session_name
+        self.session_dir = os.path.join(self.output_dir, session_name)
+        os.makedirs(self.session_dir, exist_ok=True)
+
+        if self.enable_performance_monitoring:
+            model_id = f"{self.model_type.upper()}_{self.architecture.upper()}_TPU"
+            self.perf_monitor = PerformanceMonitorServer(
+                model_identifier=model_id,
+                session_name=session_name,
+                output_dir=self.session_dir,
+                latency_window_size=100,
+            )
+
+        self.tracker = LiveRecognitionTracker(
+            recognition_interval=self.recognition_interval,
+            max_attempts=self.max_recognition_attempts,
+            buffer_size=self.frame_buffer_size,
+        )
+        self.motion_tracker = SimpleTracker(
+            max_disappeared=30, max_distance=self.max_tracking_distance
+        )
+
+        self.recognized_faces_dir = os.path.join(self.session_dir, "recognized_faces")
+        self.unrecognized_faces_dir = os.path.join(
+            self.session_dir, "unrecognized_faces"
+        )
+        self.snapshots_dir = os.path.join(self.session_dir, "snapshots")
+        for d in (self.recognized_faces_dir, self.unrecognized_faces_dir,
+                  self.snapshots_dir):
+            os.makedirs(d, exist_ok=True)
+
+        self.session_start = datetime.now()
+        self.frame_count = 0
+        self.total_faces_detected = 0
+        self.total_recognition_attempts = 0
+        self._init_session_files()
+        print(f"Session created: {session_name} -> {self.session_dir}")
+
+    def _init_session_files(self) -> None:
+        self._write_session(
+            {
+                "session_id": self.session_name,
+                "start_time": self.session_start.isoformat(),
+                "end_time": None,
+                "status": "active",
+                "settings": {
+                    "similarity_threshold": self.similarity_threshold,
+                    "recognition_interval": self.recognition_interval,
+                    "max_recognition_attempts": self.max_recognition_attempts,
+                },
+                "statistics": {
+                    "total_frames_processed": 0,
+                    "total_faces_detected": 0,
+                    "total_recognition_attempts": 0,
+                    "unique_students_recognized": 0,
+                    "unrecognized_tracks": 0,
+                },
+            }
+        )
+        self._write_attendance(
+            {
+                "session_id": self.session_name,
+                "last_updated": datetime.now().isoformat(),
+                "recognized": [],
+                "unrecognized": [],
+            }
+        )
+
+    def _write_session(self, data: Dict) -> None:
+        with open(os.path.join(self.session_dir, "session.json"), "w") as f:
+            json.dump(data, f, indent=2)
+
+    def _write_attendance(self, data: Dict) -> None:
+        with open(os.path.join(self.session_dir, "attendance.json"), "w") as f:
+            json.dump(data, f, indent=2)
+
+    # ------------------------------------------------------------ frame path
+
+    def _letterbox(self, frame_rgb: np.ndarray) -> tuple[np.ndarray, float]:
+        import cv2
+
+        dh, dw = self.det_size
+        ih, iw = frame_rgb.shape[:2]
+        scale = min(dw / iw, dh / ih)
+        nw, nh = int(round(iw * scale)), int(round(ih * scale))
+        canvas = np.zeros((dh, dw, 3), np.uint8)
+        canvas[:nh, :nw] = cv2.resize(frame_rgb, (nw, nh))
+        return canvas, scale
+
+    def process_full_frame(
+        self, frame_rgb: np.ndarray, frame_count: int, timestamp: str
+    ) -> Dict:
+        """Full pipeline for one client frame (server:586-739 equivalent)."""
+        timings = self.perf_monitor.start_request() if self.perf_monitor else None
+        self.frame_count = frame_count
+
+        canvas, scale = self._letterbox(frame_rgb)
+        result = self.batcher.submit(canvas).result(timeout=60)
+
+        # Collect valid, quality-passing faces in ORIGINAL frame coordinates.
+        faces: List[Dict] = []
+        for i in range(len(result["face_valid"])):
+            if not (result["face_valid"][i] and result["quality_ok"][i]):
+                continue
+            bbox = np.asarray(result["bboxes"][i]) / scale
+            matches = []
+            for k in range(result["match_scores"].shape[-1]):
+                sid = self.gallery.id_at(int(result["match_idx"][i, k]))
+                if sid is None:
+                    continue
+                rec = self.gallery.get_student(sid)
+                matches.append((sid, rec.name, float(result["match_scores"][i, k])))
+            faces.append(
+                {
+                    "bbox": bbox,
+                    "det_score": float(result["det_scores"][i]),
+                    "quality_metrics": {
+                        k: float(v[i]) for k, v in result["quality_metrics"].items()
+                    },
+                    "aligned_face": np.asarray(result["aligned"][i], np.uint8),
+                    "original_crop": self._margin_crop(frame_rgb, bbox),
+                    "match": matches,
+                    "timestamp": timestamp,
+                }
+            )
+        self.total_faces_detected += len(faces)
+
+        tracked = self.motion_tracker.update(faces)
+
+        if self.perf_monitor:
+            self.perf_monitor.mark_recognition_start(timings)
+
+        recognition_events = []
+        num_recognized = num_unknown = 0
+        for track_id, face in tracked:
+            face["track_id"] = track_id
+            self.tracker.add_frame(track_id, face, timestamp)
+            if not self.tracker.should_recognize(track_id, frame_count):
+                continue
+            best = self.tracker.get_best_frame(track_id)
+            if best is None or not best["match"]:
+                continue
+            self.total_recognition_attempts += 1
+            self.tracker.increment_attempts(track_id)
+            sid, name, score = best["match"][0]
+            recognized = score >= self.similarity_threshold
+            rec_result = {
+                "student_id": sid,
+                "name": name,
+                "confidence": float(score),
+                "track_id": track_id,
+                "recognized": recognized,
+                "top_matches": [
+                    {"student_id": s, "name": n, "score": float(sc)}
+                    for s, n, sc in best["match"]
+                ],
+                "timestamp": datetime.now().isoformat(),
+                "detection_quality": {
+                    "det_score": best["det_score"],
+                    "blur_score": best["quality_metrics"].get("blur_score", 0),
+                },
+            }
+            if recognized:
+                num_recognized += 1
+                self.tracker.mark_recognized(track_id, rec_result)
+                rec_result["saved_face_path"] = self._save_face_image(
+                    best, track_id, sid, name, score, recognized=True
+                )
+                recognition_events.append(("recognized", rec_result))
+                print(
+                    f"[Frame {frame_count}] Recognized: {name} "
+                    f"(track_{track_id:04d}, confidence: {score:.3f})"
+                )
+            elif (
+                self.tracker.recognition_attempts.get(track_id, 0)
+                >= self.max_recognition_attempts
+            ):
+                num_unknown += 1
+                rec_result["saved_face_path"] = self._save_face_image(
+                    best, track_id, sid, name, score, recognized=False
+                )
+                recognition_events.append(("unrecognized", rec_result))
+
+        if self.perf_monitor:
+            self.perf_monitor.mark_recognition_end(timings)
+        if recognition_events:
+            with self._lock:
+                self._update_attendance(recognition_events)
+
+        self.tracker.cleanup_stale_tracks(
+            [tid for tid, _ in tracked], max_age_seconds=30.0
+        )
+
+        perf_metrics = (
+            self.perf_monitor.end_request(
+                timings,
+                num_faces_processed=len(faces),
+                num_faces_recognized=num_recognized,
+                num_faces_unknown=num_unknown,
+            )
+            if self.perf_monitor
+            else {}
+        )
+
+        newly_recognized = {
+            str(r["track_id"]): {
+                "student_id": r["student_id"],
+                "name": r["name"],
+                "confidence": r["confidence"],
+                "timestamp": r["timestamp"],
+            }
+            for t, r in recognition_events
+            if t == "recognized"
+        }
+        newly_failed = [
+            str(r["track_id"]) for t, r in recognition_events if t == "unrecognized"
+        ]
+        return {
+            "frame_count": frame_count,
+            "faces_detected": len(faces),
+            "active_tracks": len(tracked),
+            "tracks": [
+                {
+                    "track_id": tid,
+                    "bbox": [float(x) for x in face["bbox"]],
+                    "det_score": face["det_score"],
+                }
+                for tid, face in tracked
+            ],
+            "recognized_tracks": {
+                str(k): {
+                    kk: vv for kk, vv in v.items() if kk != "saved_face_path"
+                }
+                for k, v in self.tracker.recognized_tracks.items()
+            },
+            "recognition_attempts": {
+                str(k): v for k, v in self.tracker.recognition_attempts.items()
+            },
+            "failed_tracks": {
+                str(k): True
+                for k, v in self.tracker.recognition_attempts.items()
+                if v >= self.max_recognition_attempts
+                and k not in self.tracker.recognized_tracks
+            },
+            "newly_recognized": newly_recognized,
+            "newly_failed": newly_failed,
+            "performance": perf_metrics,
+        }
+
+    def _margin_crop(self, frame_rgb: np.ndarray, bbox: np.ndarray) -> np.ndarray:
+        """0.3x margin hi-res crop capped at high_quality_crop_size
+        (face_recognition_server.py:598-618)."""
+        x1, y1, x2, y2 = [int(v) for v in bbox]
+        margin = int(max(x2 - x1, y2 - y1) * 0.3)
+        cx1, cy1 = max(0, x1 - margin), max(0, y1 - margin)
+        cx2 = min(frame_rgb.shape[1], x2 + margin)
+        cy2 = min(frame_rgb.shape[0], y2 + margin)
+        crop = frame_rgb[cy1:cy2, cx1:cx2].copy()
+        cap = self.high_quality_crop_size
+        if crop.size and max(crop.shape[:2]) > cap:
+            import cv2
+
+            s = cap / max(crop.shape[:2])
+            crop = cv2.resize(
+                crop, (int(crop.shape[1] * s), int(crop.shape[0] * s)),
+                interpolation=cv2.INTER_LANCZOS4,
+            )
+        return crop
+
+    def _save_face_image(
+        self, face: Dict, track_id: int, student_id: str, name: str,
+        confidence: float, recognized: bool,
+    ) -> str:
+        out_dir = self.recognized_faces_dir if recognized else self.unrecognized_faces_dir
+        if recognized:
+            out_dir = os.path.join(out_dir, f"{student_id}_{name.replace(' ', '_')}")
+            os.makedirs(out_dir, exist_ok=True)
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S_%f")
+        aligned_path = os.path.join(
+            out_dir, f"track_{track_id:04d}_{stamp}_conf{confidence:.3f}_aligned.png"
+        )
+        imwrite_rgb(aligned_path, face["aligned_face"])
+        crop = face.get("original_crop")
+        if crop is not None and crop.size:
+            imwrite_rgb(
+                os.path.join(
+                    out_dir,
+                    f"track_{track_id:04d}_{stamp}_conf{confidence:.3f}_original.png",
+                ),
+                crop,
+            )
+        return aligned_path
+
+    def _update_attendance(self, events: List[tuple]) -> None:
+        path = os.path.join(self.session_dir, "attendance.json")
+        with open(path) as f:
+            attendance = json.load(f)
+        for event_type, result in events:
+            track_id = result["track_id"]
+            first_seen = self.tracker.track_first_seen.get(
+                track_id, result["timestamp"]
+            )
+            duration = self.tracker.get_track_duration(track_id)
+            if event_type == "recognized":
+                existing = next(
+                    (s for s in attendance["recognized"]
+                     if s["student_id"] == result["student_id"]),
+                    None,
+                )
+                if existing is None:
+                    attendance["recognized"].append(
+                        {
+                            "student_id": result["student_id"],
+                            "name": result["name"],
+                            "first_seen": first_seen,
+                            "confidence": result["confidence"],
+                            "track_id": f"track_{track_id:04d}",
+                            "duration_seconds": duration,
+                            "detection_quality": result["detection_quality"],
+                            "saved_face_path": result.get("saved_face_path", ""),
+                        }
+                    )
+                elif result["confidence"] > existing["confidence"]:
+                    existing["confidence"] = result["confidence"]
+                    existing["detection_quality"] = result["detection_quality"]
+            else:
+                attendance["unrecognized"].append(
+                    {
+                        "track_id": f"track_{track_id:04d}",
+                        "first_seen": first_seen,
+                        "duration_seconds": duration,
+                        "best_match": {
+                            "name": result["name"],
+                            "student_id": result["student_id"],
+                            "confidence": result["confidence"],
+                        },
+                        "reason": "below_threshold",
+                        "threshold": self.similarity_threshold,
+                        "attempts": self.tracker.recognition_attempts.get(track_id, 0),
+                        "top_matches": result["top_matches"],
+                        "saved_face_path": result.get("saved_face_path", ""),
+                    }
+                )
+        attendance["last_updated"] = datetime.now().isoformat()
+        self._write_attendance(attendance)
+
+    # --------------------------------------------------------------- actions
+
+    def save_snapshot(self, snapshot_base64: str, frame_count: int, timestamp: str) -> str:
+        raw = base64.b64decode(snapshot_base64)
+        path = os.path.join(
+            self.snapshots_dir, f"snapshot_frame_{frame_count:06d}_{timestamp}.png"
+        )
+        with open(path, "wb") as f:
+            f.write(raw)
+        return path
+
+    def finalize_session(self, client_report: Optional[Dict] = None) -> None:
+        session_end = datetime.now()
+        duration = (session_end - self.session_start).total_seconds()
+        if self.perf_monitor:
+            self.perf_monitor.finalize_session(client_report=client_report)
+
+        with open(os.path.join(self.session_dir, "session.json")) as f:
+            session_data = json.load(f)
+        with open(os.path.join(self.session_dir, "attendance.json")) as f:
+            attendance = json.load(f)
+        session_data.update(
+            end_time=session_end.isoformat(),
+            status="completed",
+            duration_seconds=duration,
+            statistics={
+                "total_frames_processed": self.frame_count,
+                "total_faces_detected": self.total_faces_detected,
+                "total_recognition_attempts": self.total_recognition_attempts,
+                "unique_students_recognized": len(attendance["recognized"]),
+                "unrecognized_tracks": len(attendance["unrecognized"]),
+            },
+        )
+        self._write_session(session_data)
+        print(
+            f"Session {self.session_name} finalized: "
+            f"{len(attendance['recognized'])} recognized, "
+            f"{len(attendance['unrecognized'])} unrecognized tracks"
+        )
+
+    def shutdown(self) -> None:
+        self.batcher.stop()
+
+
+# ------------------------------------------------------------------- HTTP
+
+
+def make_handler(server: FaceRecognitionServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, payload: Dict, status: int = 200) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> Dict:
+            length = int(self.headers.get("Content-Length", 0))
+            if not length:
+                return {}
+            return json.loads(self.rfile.read(length) or b"{}")
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"status": "ok", "session": server.session_name})
+            elif self.path == "/stats":
+                if server.perf_monitor:
+                    self._json(server.perf_monitor.get_current_stats())
+                else:
+                    self._json({})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                data = self._body()
+                if self.path == "/init_session":
+                    name = data.get("session_name")
+                    if not name:
+                        self._json({"error": "session_name is required"}, 400)
+                        return
+                    server._create_session(name)
+                    self._json(
+                        {
+                            "status": "session_initialized",
+                            "session_name": name,
+                            "session_dir": server.session_dir,
+                        }
+                    )
+                elif self.path == "/process_frame":
+                    if server.session_name is None:
+                        self._json(
+                            {"error": "No active session. Call /init_session first"},
+                            400,
+                        )
+                        return
+                    frame = _decode_image_b64(data.get("frame", ""))
+                    if frame is None:
+                        self._json({"error": "could not decode frame"}, 400)
+                        return
+                    result = server.process_full_frame(
+                        frame,
+                        data.get("frame_count", 0),
+                        data.get("timestamp", datetime.now().isoformat()),
+                    )
+                    self._json(result)
+                elif self.path == "/save_snapshot":
+                    if server.session_name is None:
+                        self._json(
+                            {"error": "No active session. Call /init_session first"},
+                            400,
+                        )
+                        return
+                    path = server.save_snapshot(
+                        data.get("snapshot", ""),
+                        data.get("frame_count", 0),
+                        data.get(
+                            "timestamp", datetime.now().strftime("%Y%m%d_%H%M%S")
+                        ),
+                    )
+                    self._json({"saved": True, "path": path})
+                elif self.path == "/finalize":
+                    if server.session_name is None:
+                        self._json({"error": "No active session"}, 400)
+                        return
+                    server.finalize_session(
+                        client_report=data.get("client_performance_report")
+                    )
+                    self._json({"status": "finalized"})
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:
+                self._json(
+                    {
+                        "error": str(e),
+                        "error_type": type(e).__name__,
+                        "traceback": traceback.format_exc(),
+                    },
+                    500,
+                )
+
+    return Handler
+
+
+def serve(server: FaceRecognitionServer, host: str = "0.0.0.0", port: int = 5000):
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    print(f"Face recognition server listening on {host}:{port}")
+    return httpd
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Face Recognition Server for classroom attendance"
+    )
+    p.add_argument("--gallery_path", type=str,
+                   default=os.path.join("gallery", "students.pkl"))
+    p.add_argument("--threshold", type=float, default=0.4)
+    p.add_argument("--output_dir", type=str, default="sessions")
+    p.add_argument("--session_name", type=str, default=None)
+    p.add_argument("--recognition_interval", type=int, default=30)
+    p.add_argument("--max_attempts", type=int, default=3)
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--model_type", type=str, default="adaface",
+                   choices=["adaface", "arcface"])
+    p.add_argument("--architecture", type=str, default="ir_101",
+                   choices=sorted(BACKBONE_CONFIGS))
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--batch_max", type=int, default=8,
+                   help="Max frames coalesced into one device step")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0)
+    p.add_argument("--max_faces", type=int, default=16)
+    # accepted for reference-CLI compatibility; device choice is JAX's
+    p.add_argument("--use_gpu", action="store_true")
+    p.add_argument("--use_cpu", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    server = FaceRecognitionServer(
+        gallery_path=args.gallery_path,
+        similarity_threshold=args.threshold,
+        output_dir=args.output_dir,
+        session_name=args.session_name,
+        model_type=args.model_type,
+        architecture=args.architecture,
+        model_path=args.model_path,
+        recognition_interval=args.recognition_interval,
+        max_recognition_attempts=args.max_attempts,
+        batch_max=args.batch_max,
+        batch_wait_ms=args.batch_wait_ms,
+        max_faces=args.max_faces,
+    )
+    httpd = serve(server, args.host, args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,202 @@
+"""Streaming server end-to-end over real HTTP with a deterministic engine."""
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+import requests
+
+from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+from facerecognitionpipeline_tpu.serve.client import (
+    FaceRecognitionClient,
+    synthetic_frames,
+    _encode_image_base64,
+)
+from facerecognitionpipeline_tpu.serve.server import FaceRecognitionServer, serve
+
+
+class FakeEngine:
+    """Deterministic engine: every frame 'contains' student 0's face at a
+    fixed location, plus one padded slot. Output shapes mirror
+    RecognitionEngine._step_impl."""
+
+    def __init__(self, gallery: GalleryManager, max_faces: int = 4, k: int = 3):
+        self.gallery = gallery
+        self.max_faces = max_faces
+        self.k = k
+
+    def process_frames(self, frames, templates, valid, gallery_k=3):
+        b = frames.shape[0]
+        f, k = self.max_faces, gallery_k
+        out = {
+            "bboxes": np.zeros((b, f, 4), np.float32),
+            "det_scores": np.zeros((b, f), np.float32),
+            "landmarks": np.zeros((b, f, 5, 2), np.float32),
+            "face_valid": np.zeros((b, f), bool),
+            "quality_ok": np.zeros((b, f), bool),
+            "quality_metrics": {
+                "det_score": np.zeros((b, f), np.float32),
+                "face_size": np.full((b, f), 120.0, np.float32),
+                "yaw": np.zeros((b, f), np.float32),
+                "pitch": np.zeros((b, f), np.float32),
+                "roll": np.zeros((b, f), np.float32),
+                "blur_score": np.full((b, f), 300.0, np.float32),
+            },
+            "aligned": np.zeros((b, f, 112, 112, 3), np.float32),
+            "embeddings": np.zeros((b, f, 512), np.float32),
+            "embedding_norms": np.ones((b, f), np.float32),
+            "match_scores": np.zeros((b, f, k), np.float32),
+            "match_idx": np.zeros((b, f, k), np.int32),
+        }
+        for i in range(b):
+            out["bboxes"][i, 0] = [100, 100, 220, 220]
+            out["det_scores"][i, 0] = 0.95
+            out["quality_metrics"]["det_score"][i, 0] = 0.95
+            out["face_valid"][i, 0] = True
+            out["quality_ok"][i, 0] = True
+            out["match_scores"][i, 0] = [0.92, 0.3, 0.1]
+            out["match_idx"][i, 0] = [0, 1, min(2, k - 1)]
+        return out
+
+
+@pytest.fixture
+def server(tmp_path, rng):
+    gallery = GalleryManager(gallery_path=str(tmp_path / "g.pkl"), verbose=False)
+    for i in range(3):
+        emb = rng.normal(size=(2, 512)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        gallery.add_student(f"STU{i:04d}", f"Student {i}", emb)
+
+    srv = FaceRecognitionServer(
+        gallery=gallery,
+        similarity_threshold=0.5,
+        output_dir=str(tmp_path / "sessions"),
+        engine=FakeEngine(gallery),
+        max_recognition_attempts=2,
+        batch_max=4,
+        batch_wait_ms=2.0,
+    )
+    httpd = serve(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield srv, f"http://127.0.0.1:{port}", tmp_path
+    httpd.shutdown()
+    srv.shutdown()
+
+
+def test_health_and_session_lifecycle(server, rng):
+    srv, url, tmp_path = server
+    r = requests.get(f"{url}/health", timeout=5)
+    assert r.json() == {"status": "ok", "session": None}
+
+    # frame before session -> 400
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    r = requests.post(f"{url}/process_frame",
+                      json={"frame": _encode_image_base64(frame)}, timeout=10)
+    assert r.status_code == 400
+
+    r = requests.post(f"{url}/init_session",
+                      json={"session_name": "t1"}, timeout=10)
+    assert r.json()["status"] == "session_initialized"
+    session_dir = tmp_path / "sessions" / "t1"
+    assert (session_dir / "session.json").exists()
+    assert (session_dir / "attendance.json").exists()
+
+    # stream frames: the fake engine always sees student 0 at 0.92 > 0.5
+    for i in range(3):
+        r = requests.post(
+            f"{url}/process_frame",
+            json={"frame": _encode_image_base64(frame), "frame_count": i},
+            timeout=30,
+        )
+        assert r.status_code == 200
+        body = r.json()
+    assert body["faces_detected"] == 1
+    assert body["tracks"][0]["track_id"] == 1  # identity held across frames
+    assert "1" in body["recognized_tracks"]
+    assert body["recognized_tracks"]["1"]["student_id"] == "STU0000"
+    assert "performance" in body
+
+    # attendance recorded once, with schema fields
+    with open(session_dir / "attendance.json") as f:
+        att = json.load(f)
+    assert len(att["recognized"]) == 1
+    entry = att["recognized"][0]
+    assert entry["student_id"] == "STU0000"
+    assert entry["track_id"] == "track_0001"
+    assert "detection_quality" in entry
+    # face crops persisted
+    rec_dir = session_dir / "recognized_faces" / "STU0000_Student_0"
+    assert any(f.endswith("_aligned.png") for f in os.listdir(rec_dir))
+
+    # snapshot
+    r = requests.post(
+        f"{url}/save_snapshot",
+        json={"snapshot": _encode_image_base64(frame), "frame_count": 3},
+        timeout=10,
+    )
+    assert r.json()["saved"]
+    assert os.listdir(session_dir / "snapshots")
+
+    # finalize with a client report
+    r = requests.post(
+        f"{url}/finalize",
+        json={"client_performance_report": {"session_info": {"component": "client"}}},
+        timeout=10,
+    )
+    assert r.json()["status"] == "finalized"
+    with open(session_dir / "session.json") as f:
+        sess = json.load(f)
+    assert sess["status"] == "completed"
+    assert sess["statistics"]["unique_students_recognized"] == 1
+    assert (session_dir / "performance_report_server.json").exists()
+    assert (session_dir / "performance_report_client.json").exists()
+
+
+def test_client_against_server(server):
+    srv, url, tmp_path = server
+    client = FaceRecognitionClient(
+        server_url=url,
+        session_name="client_run",
+        synthetic=True,
+        frame_skip=2,
+        max_frames=6,
+        display=False,
+        output_dir=str(tmp_path / "client_sessions"),
+    )
+    assert client.run() == 0
+    # client mirrored the server's recognition state
+    assert client.recognized_tracks
+    # client perf report written locally and relayed to the server session
+    session_dir = tmp_path / "sessions" / "client_run"
+    assert (session_dir / "performance_report_client.json").exists()
+    with open(session_dir / "performance_report_client.json") as f:
+        report = json.load(f)
+    assert report["session_info"]["component"] == "client"
+    assert report["frame_statistics"]["total_frames_processed"] == 6
+    assert report["frame_statistics"]["total_network_requests"] == 3
+
+
+def test_batcher_coalesces_concurrent_clients(server, rng):
+    """Concurrent requests share device steps through the batcher."""
+    srv, url, tmp_path = server
+    requests.post(f"{url}/init_session", json={"session_name": "mc"}, timeout=10)
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    payload = {"frame": _encode_image_base64(frame), "frame_count": 1}
+
+    results = []
+
+    def worker():
+        r = requests.post(f"{url}/process_frame", json=payload, timeout=30)
+        results.append(r.status_code)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 6
