@@ -176,14 +176,43 @@ def bilinear_sample(
         def gather(yi, xi):
             idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
             return jnp.take(flat, idx, axis=0)
-    else:
-        def gather(yi, xi):
-            inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            return jnp.take(flat, idx, axis=0) * inb[..., None].astype(jnp.float32)
 
-    top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x0i + 1) * wx
-    bot = gather(y0i + 1, x0i) * (1 - wx) + gather(y0i + 1, x0i + 1) * wx
+        top = gather(y0i, x0i) * (1 - wx) + gather(y0i, x0i + 1) * wx
+        bot = gather(y0i + 1, x0i) * (1 - wx) + gather(y0i + 1, x0i + 1) * wx
+        return top * (1 - wy) + bot * wy
+
+    # zero border: fetch each bilinear 2x2 neighborhood as ONE gather slice
+    # (4x fewer gather descriptors than per-corner takes; bit-identical).
+    lead_shape = sx.shape
+    start_y = jnp.clip(y0i, 0, h - 2)
+    start_x = jnp.clip(x0i, 0, w - 2)
+    starts = jnp.stack([start_y, start_x], axis=-1).reshape(-1, 2)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+    blocks = jax.lax.gather(
+        image.astype(jnp.float32), starts, dn, slice_sizes=(2, 2, c)
+    ).reshape(*lead_shape, 2, 2, c)
+    b00 = blocks[..., 0, 0, :]
+    b01 = blocks[..., 0, 1, :]
+    b10 = blocks[..., 1, 0, :]
+    b11 = blocks[..., 1, 1, :]
+
+    def corner(dy: int, dx: int) -> jax.Array:
+        # At image edges the clipped gather start shifts the neighborhood
+        # inside the block: select the right in-block cell per pixel.
+        # Out-of-range picks are zeroed by the border mask.
+        yi, xi = y0i + dy, x0i + dx
+        ri = (jnp.clip(yi - start_y, 0, 1) == 1)[..., None]
+        ci = (jnp.clip(xi - start_x, 0, 1) == 1)[..., None]
+        top_v = jnp.where(ci, b01, b00)
+        bot_v = jnp.where(ci, b11, b10)
+        v = jnp.where(ri, bot_v, top_v)
+        inb = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)).astype(jnp.float32)
+        return v * inb[..., None]
+
+    top = corner(0, 0) * (1 - wx) + corner(0, 1) * wx
+    bot = corner(1, 0) * (1 - wx) + corner(1, 1) * wx
     return top * (1 - wy) + bot * wy
 
 
