@@ -103,6 +103,14 @@ class FaceEmbedder:
         self._forward = jax.jit(self._forward_impl)
 
     def _load_weights(self, path: str) -> dict:
+        print(f"Loading {self.model_type} weights ({self.architecture}) from {path}...")
+        if path.endswith(".npz"):
+            # framework-native format (train/checkpoint.py export_backbone)
+            from facerecognitionpipeline_tpu.train.checkpoint import (
+                load_npz_variables,
+            )
+
+            return load_npz_variables(path)
         if path.endswith(".onnx"):
             raise NotImplementedError(
                 "ONNX weight import requires the optional 'onnx' package; "
@@ -113,7 +121,6 @@ class FaceEmbedder:
             load_adaface_checkpoint,
         )
 
-        print(f"Loading {self.model_type} weights ({self.architecture}) from {path}...")
         return load_adaface_checkpoint(path, self.architecture)
 
     def _forward_impl(self, variables, faces_rgb):
