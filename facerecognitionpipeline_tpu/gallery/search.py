@@ -94,19 +94,38 @@ class DeviceGallery:
     every query (`gallery_manager.py:194`): the matrix is rebuilt only when
     identities change, padded to a multiple of 128 rows so the matmul tiles
     cleanly onto the MXU and recompilations are rare.
+
+    Galleries at/above `streaming_threshold` identities switch to the Pallas
+    streaming kernel (`ops/pallas_gallery.py`): bf16 template chunks are
+    double-buffered through VMEM with a fused running top-k, so the [Q,G]
+    similarity matrix never materializes in HBM.
     """
 
-    def __init__(self, dim: int = 512, pad_multiple: int = 128):
+    STREAM_CHUNK = 4096
+
+    def __init__(
+        self,
+        dim: int = 512,
+        pad_multiple: int = 128,
+        streaming_threshold: int = 32768,
+    ):
         self.dim = dim
         self.pad_multiple = pad_multiple
+        self.streaming_threshold = streaming_threshold
         self._ids: list[str] = []
         self._templates: jax.Array | None = None
         self._valid: jax.Array | None = None
+        self._templates_bf16: jax.Array | None = None
 
     def rebuild(self, ids: list[str], templates: np.ndarray) -> None:
         """ids: G identity keys; templates: [G, dim] float32."""
         g = len(ids)
-        gp = max(_pad_to(g, self.pad_multiple), self.pad_multiple)
+        multiple = (
+            self.STREAM_CHUNK
+            if g >= self.streaming_threshold
+            else self.pad_multiple
+        )
+        gp = max(_pad_to(g, multiple), multiple)
         mat = np.zeros((gp, self.dim), dtype=np.float32)
         val = np.zeros((gp,), dtype=bool)
         if g:
@@ -115,6 +134,11 @@ class DeviceGallery:
         self._ids = list(ids)
         self._templates = jnp.asarray(mat)
         self._valid = jnp.asarray(val)
+        self._templates_bf16 = (
+            self._templates.astype(jnp.bfloat16)
+            if g >= self.streaming_threshold
+            else None
+        )
 
     @property
     def size(self) -> int:
@@ -131,7 +155,17 @@ class DeviceGallery:
             return np.zeros((len(queries), 0), np.float32), [[] for _ in queries]
         k = min(top_k, len(self._ids))
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
-        scores, idx = cosine_topk(q, self._templates, self._valid, k)
+        if self._templates_bf16 is not None:
+            from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+                streaming_cosine_topk,
+            )
+
+            scores, idx = streaming_cosine_topk(
+                q, self._templates_bf16, self._valid, top_k=k,
+                chunk=self.STREAM_CHUNK,
+            )
+        else:
+            scores, idx = cosine_topk(q, self._templates, self._valid, k)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         ids = [[self._ids[j] for j in row] for row in idx]
