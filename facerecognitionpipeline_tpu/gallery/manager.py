@@ -17,7 +17,6 @@ removal, same search result tuples. Differences (deliberate):
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import pickle

@@ -18,7 +18,6 @@ R-net -> `max_faces` out of O-net.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import List, Optional
 
 import jax

@@ -22,7 +22,6 @@ batch instead of the reference's per-32 chunked torch loop
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Sequence
 
 import flax.linen as nn

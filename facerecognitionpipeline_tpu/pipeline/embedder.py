@@ -20,8 +20,7 @@ convention — but TPU-first:
 from __future__ import annotations
 
 import os
-from functools import partial
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

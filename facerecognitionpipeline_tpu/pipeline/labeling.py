@@ -13,7 +13,7 @@ import json
 import os
 import shutil
 from datetime import datetime
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
 from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder

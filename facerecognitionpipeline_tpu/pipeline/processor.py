@@ -15,7 +15,6 @@ but a TPU-first execution model:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

@@ -17,7 +17,6 @@ program; `__graft_entry__.dryrun_multichip` runs it on a virtual mesh.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional
 
 import jax
