@@ -37,7 +37,11 @@ class RecognitionEngine:
         quality_config: Optional[QualityConfig] = None,
         top_k: int = 3,
         align_size: int = 112,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
+        batch shards across it (multi-chip serving: weights/gallery
+        replicated, frames data-parallel; B must divide the axis)."""
         self.detector = detector
         self.embedder = embedder
         self.quality_config = quality_config or QualityConfig(
@@ -45,6 +49,7 @@ class RecognitionEngine:
         )
         self.top_k = top_k
         self.align_size = align_size
+        self.mesh = mesh
         self._template = jnp.asarray(reference_template(align_size))
         self._step = jax.jit(self._step_impl, static_argnames=("gallery_k",))
 
@@ -76,6 +81,14 @@ class RecognitionEngine:
     ):
         """frames [B,H,W,3] raw RGB -> everything, no host round-trips."""
         frames_f32 = frames.astype(jnp.float32)
+        if self.mesh is not None:
+            # DP serving: frames shard over the 'data' axis; weights/gallery
+            # replicate; XLA partitions the whole fused step accordingly.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_f32 = jax.lax.with_sharding_constraint(
+                frames_f32, NamedSharding(self.mesh, P("data"))
+            )
         det = self.detector._detect_batch(det_vars, frames_f32)
 
         aligned, ok, metrics = jax.vmap(self._per_frame)(frames_f32, det)
