@@ -39,6 +39,12 @@ BACKBONE_CONFIGS: dict[str, dict[str, Any]] = {
     "ir_152": {"units": (3, 8, 36, 3), "use_se": False},
     "ir_se_50": {"units": (3, 4, 14, 3), "use_se": True},
     "ir_se_101": {"units": (3, 13, 30, 3), "use_se": True},
+    # insightface/arcface_torch 'iresnet' family: identical blocks except the
+    # stride-2 equal-channel shortcut is conv1x1+BN instead of subsampling.
+    "iresnet_18": {"units": (2, 2, 2, 2), "use_se": False, "conv_shortcut": True},
+    "iresnet_34": {"units": (3, 4, 6, 3), "use_se": False, "conv_shortcut": True},
+    "iresnet_50": {"units": (3, 4, 14, 3), "use_se": False, "conv_shortcut": True},
+    "iresnet_100": {"units": (3, 13, 30, 3), "use_se": False, "conv_shortcut": True},
 }
 _STAGE_CHANNELS = (64, 128, 256, 512)
 
@@ -73,11 +79,15 @@ class SEModule(nn.Module):
 
 
 class BasicBlockIR(nn.Module):
-    """One IR residual unit; `use_se=True` makes it the IR-SE variant."""
+    """One IR residual unit; `use_se=True` makes it the IR-SE variant.
+
+    `conv_shortcut=True` (iresnet family) uses a conv1x1+BN shortcut whenever
+    the block strides, even at equal channel counts."""
 
     depth: int
     stride: int
     use_se: bool
+    conv_shortcut: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -91,7 +101,10 @@ class BasicBlockIR(nn.Module):
             name=name,
         )
 
-        if in_ch == self.depth:
+        identity_ok = in_ch == self.depth and not (
+            self.conv_shortcut and self.stride != 1
+        )
+        if identity_ok:
             # torch MaxPool2d(kernel=1, stride=s): pure subsampling.
             shortcut = x[:, :: self.stride, :: self.stride, :]
         else:
@@ -119,6 +132,7 @@ class IRBackbone(nn.Module):
 
     units: Sequence[int]
     use_se: bool = False
+    conv_shortcut: bool = False
     embedding_dim: int = 512
     input_size: int = 112
     dtype: Any = jnp.float32  # compute dtype; params stay float32
@@ -142,6 +156,7 @@ class IRBackbone(nn.Module):
                     depth=depth,
                     stride=2 if unit == 0 else 1,
                     use_se=self.use_se,
+                    conv_shortcut=self.conv_shortcut,
                     dtype=self.dtype,
                     name=f"stage{stage}_unit{unit}",
                 )(x, train=train)
@@ -173,4 +188,9 @@ def build_backbone(architecture: str, dtype=jnp.float32) -> IRBackbone:
             f"Available: {sorted(BACKBONE_CONFIGS)}"
         )
     cfg = BACKBONE_CONFIGS[architecture]
-    return IRBackbone(units=cfg["units"], use_se=cfg["use_se"], dtype=dtype)
+    return IRBackbone(
+        units=cfg["units"],
+        use_se=cfg["use_se"],
+        conv_shortcut=cfg.get("conv_shortcut", False),
+        dtype=dtype,
+    )

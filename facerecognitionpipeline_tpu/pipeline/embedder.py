@@ -72,17 +72,31 @@ class FaceEmbedder:
         self.model_type = model_type
         self.architecture = architecture
         self.input_size = (112, 112)
-        self.model = build_backbone(architecture, dtype=dtype)
         self._dtype = dtype
+
+        # resolve the weights path before building: ArcFace .onnx files carry
+        # the iresnet flavor of the architecture (conv shortcuts on stride).
+        resolved_path = model_path
+        if variables is None and resolved_path is None:
+            table = ADAFACE_MODELS if model_type == "adaface" else ARCFACE_MODELS
+            resolved_path = table.get(architecture)
+        build_arch = architecture
+        if (
+            model_type == "arcface"
+            and resolved_path is not None
+            and resolved_path.endswith(".onnx")
+        ):
+            build_arch = {"ir_50": "iresnet_50", "ir_101": "iresnet_100"}.get(
+                architecture, architecture
+            )
+        self._build_arch = build_arch
+        self.model = build_backbone(build_arch, dtype=dtype)
 
         if variables is not None:
             self.variables = variables
             self.pretrained = True
         else:
-            path = model_path
-            if path is None:
-                table = ADAFACE_MODELS if model_type == "adaface" else ARCFACE_MODELS
-                path = table.get(architecture)
+            path = resolved_path
             if path is not None and os.path.exists(path):
                 self.variables = self._load_weights(path)
                 self.pretrained = True
@@ -111,11 +125,12 @@ class FaceEmbedder:
 
             return load_npz_variables(path)
         if path.endswith(".onnx"):
-            raise NotImplementedError(
-                "ONNX weight import requires the optional 'onnx' package; "
-                "convert the ArcFace model to a torch statedict (.ckpt/.pt) "
-                "or pass variables= directly."
+            # built-in protobuf reader — no onnx/onnxruntime dependency
+            from facerecognitionpipeline_tpu.models.onnx_import import (
+                load_arcface_onnx,
             )
+
+            return load_arcface_onnx(path, self._build_arch)
         from facerecognitionpipeline_tpu.models.torch_import import (
             load_adaface_checkpoint,
         )
