@@ -78,6 +78,7 @@ class MTCNNDetector:
         self.det_size = det_size
         self.max_faces = max_faces
         self.thresholds = stage_thresholds or (0.6, 0.7, det_thresh)
+        self._crop_dtype = dtype  # cascade crops run on normalized [-1,1] data
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)
         self.onet = ONet(dtype=dtype)
@@ -172,7 +173,7 @@ class MTCNNDetector:
     def _stage2(self, variables, img, boxes, scores, valid):
         h, w, _ = img.shape
         sq = jnp.clip(_square(boxes), 0, max(h, w))
-        crops = crop_resize(img, sq, 24)
+        crops = crop_resize(img, sq, 24, compute_dtype=self._crop_dtype)
         prob, reg = self.rnet.apply(variables["rnet"], crops)
         valid = valid & (prob > self.thresholds[1])
         boxes = _apply_reg(sq, reg)
@@ -183,7 +184,7 @@ class MTCNNDetector:
     def _stage3(self, variables, img, boxes, scores, valid):
         h, w, _ = img.shape
         sq = jnp.clip(_square(boxes), 0, max(h, w))
-        crops = crop_resize(img, sq, 48)
+        crops = crop_resize(img, sq, 48, compute_dtype=self._crop_dtype)
         prob, reg, lmk = self.onet.apply(variables["onet"], crops)
         valid = valid & (prob > self.thresholds[2])
 

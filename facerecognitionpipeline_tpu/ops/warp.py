@@ -261,7 +261,9 @@ def _interp_matrix(starts: jax.Array, sizes: jax.Array, out_size: int, src_dim: 
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, :, None] - pix[None, None, :]))
 
 
-def crop_resize(image: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
+def crop_resize(
+    image: jax.Array, boxes: jax.Array, out_size: int, compute_dtype=jnp.float32
+) -> jax.Array:
     """Crop boxes [N,4] (x1,y1,x2,y2 float pixels) from one image and resize
     to [N,out_size,out_size,C] with bilinear sampling (half-pixel centers,
     zero outside the image).
@@ -269,8 +271,9 @@ def crop_resize(image: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
     TPU formulation: axis-aligned bilinear resampling is separable, so the
     whole batch is TWO matmuls — rows: [N*out, H] @ [H, W*C], then columns
     per box — which run on the MXU instead of the (very slow) gather unit.
-    Numerically identical to `crop_resize_gather`; ~20x faster at cascade
-    shapes on v5e.
+    Numerically identical to `crop_resize_gather` at float32; pass
+    compute_dtype=bfloat16 on already-normalized inputs (detector cascade)
+    to halve the intermediate's HBM traffic.
     """
     n = boxes.shape[0]
     h, w, c = image.shape
@@ -278,17 +281,17 @@ def crop_resize(image: jax.Array, boxes: jax.Array, out_size: int) -> jax.Array:
     bw = jnp.maximum(x2 - x1, 1e-6)
     bh = jnp.maximum(y2 - y1, 1e-6)
 
-    my = _interp_matrix(y1, bh, out_size, h)  # [N, out, H]
-    mx = _interp_matrix(x1, bw, out_size, w)  # [N, out, W]
+    my = _interp_matrix(y1, bh, out_size, h).astype(compute_dtype)  # [N, out, H]
+    mx = _interp_matrix(x1, bw, out_size, w).astype(compute_dtype)  # [N, out, W]
 
-    img = image.astype(jnp.float32).reshape(h, w * c)
+    img = image.astype(compute_dtype).reshape(h, w * c)
     rows = jnp.dot(
-        my.reshape(n * out_size, h), img, preferred_element_type=jnp.float32
+        my.reshape(n * out_size, h), img, preferred_element_type=compute_dtype
     ).reshape(n, out_size, w, c)
     # batched column contraction: out[b, y, x, c] = sum_w mx[b, x, w] rows[b, y, w, c]
     return jnp.einsum(
         "bxw,bywc->byxc", mx, rows, preferred_element_type=jnp.float32
-    )
+    ).astype(jnp.float32)
 
 
 def align_faces(
