@@ -258,6 +258,8 @@ class FaceRecognitionServer:
         self.frame_count = frame_count
 
         canvas, scale = self._letterbox(frame_rgb)
+        # device work is batched across threads; everything after the result
+        # returns is host-side and fast
         result = self.batcher.submit(canvas).result(timeout=60)
 
         # Collect valid, quality-passing faces in ORIGINAL frame coordinates.
@@ -288,8 +290,20 @@ class FaceRecognitionServer:
             )
         self.total_faces_detected += len(faces)
 
-        tracked = self.motion_tracker.update(faces)
+        # Host tracking/attendance state is shared across the HTTP thread
+        # pool — serialize it (the reference left this unsynchronized,
+        # SURVEY.md §5 'Race detection'). The expensive device step above
+        # already ran; this section is cheap dict work.
+        with self._lock:
+            tracked = self.motion_tracker.update(faces)
+            return self._track_and_recognize(
+                faces, tracked, frame_count, timestamp, timings
+            )
 
+    def _track_and_recognize(
+        self, faces, tracked, frame_count, timestamp, timings
+    ) -> Dict:
+        """Runs under self._lock (shared tracker/attendance state)."""
         if self.perf_monitor:
             self.perf_monitor.mark_recognition_start(timings)
 
@@ -347,8 +361,7 @@ class FaceRecognitionServer:
         if self.perf_monitor:
             self.perf_monitor.mark_recognition_end(timings)
         if recognition_events:
-            with self._lock:
-                self._update_attendance(recognition_events)
+            self._update_attendance(recognition_events)
 
         self.tracker.cleanup_stale_tracks(
             [tid for tid, _ in tracked], max_age_seconds=30.0
