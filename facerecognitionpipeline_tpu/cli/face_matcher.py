@@ -50,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=sorted(BACKBONE_CONFIGS))
     parser.add_argument("--model_path", type=str, default=None,
                         help="Explicit weights path (overrides the zoo table)")
+    parser.add_argument("--detector_weights", type=str, default=None,
+                        help="Detector cascade weights (.npz / torch file)")
     return parser
 
 
@@ -70,6 +72,7 @@ def main(argv=None) -> int:
         model_type=args.model_type,
         architecture=args.architecture,
         embedder=embedder,
+        detector_weights=args.detector_weights,
     )
 
     if args.single_image:

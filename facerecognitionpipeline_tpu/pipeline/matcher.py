@@ -48,6 +48,7 @@ class FaceMatcher:
         embedder: Optional[FaceEmbedder] = None,
         gallery: Optional[GalleryManager] = None,
         processor=None,
+        detector_weights: Optional[str] = None,
     ):
         if aggregation_method not in AGGREGATION_METHODS:
             raise ValueError(
@@ -63,6 +64,7 @@ class FaceMatcher:
         )
         self.gallery = gallery or GalleryManager(gallery_path=gallery_path)
         self._processor = processor
+        self._detector_weights = detector_weights
 
         n = len(self.gallery.get_all_students())
         if n == 0:
@@ -261,10 +263,21 @@ class FaceMatcher:
         if self._processor is None:
             from facerecognitionpipeline_tpu.pipeline.processor import FaceProcessor
 
+            detector = None
+            if self._detector_weights:
+                from facerecognitionpipeline_tpu.models.detector import (
+                    MTCNNDetector,
+                )
+
+                detector = MTCNNDetector(
+                    det_size=(640, 640), det_thresh=0.5,
+                    weights_path=self._detector_weights,
+                )
             self._processor = FaceProcessor(
                 output_size=112,
                 det_size=(640, 640),
                 det_thresh=0.5,
+                detector=detector,
                 quality_filter_config={
                     "min_det_score": 0.5,
                     "min_face_size": 40,

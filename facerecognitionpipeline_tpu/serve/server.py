@@ -85,6 +85,7 @@ class FaceRecognitionServer:
         model_type: str = "adaface",
         architecture: str = "ir_101",
         model_path: Optional[str] = None,
+        detector_weights: Optional[str] = None,
         det_size: tuple[int, int] = (640, 640),
         max_faces: int = 16,
         recognition_interval: int = 30,
@@ -122,6 +123,7 @@ class FaceRecognitionServer:
             detector = MTCNNDetector(
                 det_size=det_size, det_thresh=0.5, max_faces=max_faces,
                 min_face_size=40, dtype=jnp.bfloat16,
+                weights_path=detector_weights,
             )
             embedder = FaceEmbedder(
                 architecture=architecture, model_type=model_type,
@@ -694,6 +696,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--architecture", type=str, default="ir_101",
                    choices=sorted(BACKBONE_CONFIGS))
     p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--detector_weights", type=str, default=None,
+                   help="Detector cascade weights (.npz / torch file)")
     p.add_argument("--batch_max", type=int, default=8,
                    help="Max frames coalesced into one device step")
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
@@ -714,6 +718,7 @@ def main(argv=None) -> int:
         model_type=args.model_type,
         architecture=args.architecture,
         model_path=args.model_path,
+        detector_weights=args.detector_weights,
         recognition_interval=args.recognition_interval,
         max_recognition_attempts=args.max_attempts,
         batch_max=args.batch_max,
