@@ -59,12 +59,35 @@ def get_detector() -> MTCNNDetector:
     return det
 
 
-def get_embedder(identities) -> FaceEmbedder:
+def build_aligned_pool(identities, processor, per_identity: int = 20):
+    """Detected-and-aligned crops per identity: the embedder trains on the
+    same distribution the recognition path produces (background, detector
+    alignment jitter), not just centered renders."""
+    rng = np.random.default_rng(7)
+    pool = {i: [] for i in range(len(identities))}
+    for i, ident in enumerate(identities):
+        attempts = 0
+        while len(pool[i]) < per_identity and attempts < per_identity * 3:
+            attempts += 1
+            scene, boxes, _, _ = render_identity_scene([ident], rng, size=160)
+            if not len(boxes):
+                continue
+            faces = processor.process_numpy(scene, return_all=True)
+            if faces:
+                pool[i].append(faces[0]["aligned_face"])
+    counts = {i: len(v) for i, v in pool.items()}
+    print(f"  aligned pool sizes: min {min(counts.values())} "
+          f"max {max(counts.values())}")
+    return pool
+
+
+def get_embedder(identities, processor=None) -> FaceEmbedder:
     if os.path.exists(EMBEDDER_WEIGHTS):
         print(f"Using cached embedder weights: {EMBEDDER_WEIGHTS}")
         return FaceEmbedder(architecture="ir_micro", model_path=EMBEDDER_WEIGHTS)
     print(f"Training the embedder on {len(identities)} synthetic identities "
           f"({EMBEDDER_STEPS} steps, ~6 min)...")
+    pool = build_aligned_pool(identities, processor) if processor else None
     rng = np.random.default_rng(0)
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
     cfg = TrainConfig(
@@ -77,7 +100,14 @@ def get_embedder(identities) -> FaceEmbedder:
     t0 = time.time()
     for step in range(EMBEDDER_STEPS):
         labels = rng.integers(0, len(identities), size=64).astype(np.int32)
-        imgs = np.stack([render_identity_crop(identities[l], rng) for l in labels])
+        imgs = []
+        for l in labels:
+            # half centered renders, half detector-aligned crops (domain match)
+            if pool and pool[int(l)] and rng.random() < 0.5:
+                imgs.append(pool[int(l)][rng.integers(0, len(pool[int(l)]))])
+            else:
+                imgs.append(render_identity_crop(identities[l], rng))
+        imgs = np.stack(imgs)
         x = (imgs[:, :, :, ::-1].astype(np.float32) - 127.5) / 127.5
         state, metrics = trainer.train_step(state, x, labels, key)
         if (step + 1) % 100 == 0:
@@ -92,19 +122,20 @@ def main() -> int:
     rng = np.random.default_rng(42)
 
     detector = get_detector()
-    embedder = get_embedder(identities)
     processor = FaceProcessor(
         output_size=112, detector=detector,
         quality_filter_config={"min_det_score": 0.5, "min_face_size": 15,
                                "max_yaw": 90, "max_pitch": 90, "max_roll": 90,
                                "check_blur": False},
     )
+    embedder = get_embedder(identities, processor)
 
-    print("\nEnrolling identities from rendered crops...")
+    print("\nEnrolling identities from detector-aligned crops...")
+    enroll_pool = build_aligned_pool(identities, processor, per_identity=4)
     gallery = GalleryManager(gallery_path="/tmp/synth_demo/students.pkl",
                              verbose=False)
     for i, ident in enumerate(identities):
-        crops = [render_identity_crop(ident, rng) for _ in range(4)]
+        crops = enroll_pool[i] or [render_identity_crop(ident, rng)]
         gallery.add_student(f"SYN{i:03d}", f"Identity {i}",
                             embedder.extract_embeddings_batch(crops))
 

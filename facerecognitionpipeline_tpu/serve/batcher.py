@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional
 
@@ -76,8 +77,6 @@ class DeviceBatcher:
         except queue.Empty:
             return items
         deadline = self.max_wait_s
-        import time
-
         t0 = time.perf_counter()
         while len(items) < self.max_batch:
             remaining = deadline - (time.perf_counter() - t0)

@@ -290,8 +290,6 @@ class FaceRecognitionServer:
                     "timestamp": timestamp,
                 }
             )
-        self.total_faces_detected += len(faces)
-
         # Host tracking/attendance state is shared across the HTTP thread
         # pool — serialize it (the reference left this unsynchronized,
         # SURVEY.md §5 'Race detection'). The expensive device step above
@@ -306,6 +304,7 @@ class FaceRecognitionServer:
         self, faces, tracked, frame_count, timestamp, timings
     ) -> Dict:
         """Runs under self._lock (shared tracker/attendance state)."""
+        self.total_faces_detected += len(faces)
         if self.perf_monitor:
             self.perf_monitor.mark_recognition_start(timings)
 
