@@ -43,7 +43,7 @@ def main() -> None:
     from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
 
     B = 8           # frames per step (multi-client batch)
-    MAX_FACES = 16  # face slots per frame
+    MAX_FACES = 32  # face slots per frame (a full classroom photo)
     GALLERY = 1024  # enrolled identities (padded)
 
     rng = np.random.default_rng(0)
