@@ -1,0 +1,111 @@
+"""Serving end-to-end with the REAL fused engine: HTTP -> batcher -> cascade
+detection (trained weights) -> align -> embed -> gallery match -> attendance.
+
+Every other server test uses FakeEngine; this one runs the actual device
+pipeline under the HTTP edge."""
+
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+import requests
+
+from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+from facerecognitionpipeline_tpu.ops.quality import QualityConfig
+from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
+from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
+from facerecognitionpipeline_tpu.pipeline.processor import FaceProcessor
+from facerecognitionpipeline_tpu.serve.client import _encode_image_base64
+from facerecognitionpipeline_tpu.serve.server import FaceRecognitionServer, serve
+from facerecognitionpipeline_tpu.train.detector_train import (
+    make_identity,
+    render_identity_scene,
+)
+
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pretrained", "mtcnn_synthetic.npz",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(WEIGHTS), reason="trained detector weights not present"
+)
+
+
+def test_server_full_pipeline_real_engine(tmp_path):
+    detector = MTCNNDetector(
+        det_size=(160, 160), max_faces=4, min_face_size=20,
+        weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+    embedder = FaceEmbedder(architecture="ir_micro")
+    engine = RecognitionEngine(
+        detector, embedder,
+        quality_config=QualityConfig(
+            min_det_score=0.5, min_face_size=15, max_yaw=90, max_pitch=90,
+            max_roll=90, check_blur=False,
+        ),
+        top_k=3,
+    )
+
+    # render one identity; enroll its detector-aligned crop
+    scene, boxes, _, _ = render_identity_scene(
+        [make_identity(3)], np.random.default_rng(4), size=160
+    )
+    assert len(boxes)
+    processor = FaceProcessor(
+        output_size=112, detector=detector,
+        quality_filter_config={"min_det_score": 0.5, "min_face_size": 10,
+                               "max_yaw": 90, "max_pitch": 90, "max_roll": 90,
+                               "check_blur": False},
+    )
+    faces = processor.process_numpy(scene, return_all=True)
+    assert faces, "no detection in the rendered scene"
+    gallery = GalleryManager(gallery_path=str(tmp_path / "g.pkl"), verbose=False)
+    gallery.add_student(
+        "SYN0003", "Identity 3",
+        embedder.extract_embeddings_batch([faces[0]["aligned_face"]]),
+    )
+
+    srv = FaceRecognitionServer(
+        gallery=gallery,
+        similarity_threshold=0.8,
+        output_dir=str(tmp_path / "sessions"),
+        engine=engine,
+        det_size=(160, 160),
+        max_recognition_attempts=3,
+        batch_max=4,
+        batch_wait_ms=2.0,
+    )
+    httpd = serve(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        requests.post(f"{url}/init_session", json={"session_name": "real"},
+                      timeout=10)
+        payload = {"frame": _encode_image_base64(scene)}
+        body = {}
+        for i in range(3):
+            r = requests.post(
+                f"{url}/process_frame",
+                json={**payload, "frame_count": i}, timeout=180,
+            )
+            assert r.status_code == 200, r.text[:300]
+            body = r.json()
+        assert body["faces_detected"] >= 1
+        recognized = body["recognized_tracks"]
+        assert recognized, f"no recognition: {body}"
+        assert list(recognized.values())[0]["student_id"] == "SYN0003"
+
+        requests.post(f"{url}/finalize", json={}, timeout=30)
+        session_dir = tmp_path / "sessions" / "real"
+        with open(session_dir / "attendance.json") as f:
+            att = json.load(f)
+        assert att["recognized"][0]["student_id"] == "SYN0003"
+        assert att["recognized"][0]["confidence"] > 0.9
+    finally:
+        httpd.shutdown()
+        srv.shutdown()
