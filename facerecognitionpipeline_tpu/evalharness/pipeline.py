@@ -224,6 +224,68 @@ def export_plots(all_model_results: Dict, output_dir: str) -> List[str]:
     fig.savefig(path, dpi=120)
     plt.close(fig)
     written.append(path)
+
+    # verification ROC + genuine/impostor distributions (v2 notebook plots)
+    has_ver = any(m.get("verification") for m in all_model_results.values())
+    if has_ver:
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        for model_name, model_data in all_model_results.items():
+            for gallery_name, gr in model_data.get("verification", {}).items():
+                v = gr.get("mean")
+                if not v:
+                    continue
+                axes[0].plot(
+                    v["fpr"], v["tpr"],
+                    label=f"{model_name}/{gallery_name} (EER {v['eer']:.3f})",
+                )
+                axes[1].hist(v["genuine_scores"], bins=40, alpha=0.4,
+                             label=f"{model_name}/{gallery_name} genuine")
+                axes[1].hist(v["impostor_scores"], bins=40, alpha=0.4,
+                             label=f"{model_name}/{gallery_name} impostor")
+        axes[0].plot([0, 1], [0, 1], "k--", alpha=0.3)
+        axes[0].set_xlabel("FAR"); axes[0].set_ylabel("TAR")
+        axes[0].set_title("Verification ROC (mean agg)")
+        axes[0].legend(fontsize=7)
+        axes[1].set_xlabel("cosine similarity"); axes[1].set_ylabel("count")
+        axes[1].set_title("Score distributions")
+        axes[1].legend(fontsize=6)
+        fig.tight_layout()
+        path = os.path.join(output_dir, "verification_curves.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+
+    # per-segment rank-1 bars (difficulty-bucket comparison)
+    seg_rows = []
+    for model_name, model_data in all_model_results.items():
+        for gallery_name, segments in model_data.get("segmented", {}).items():
+            for seg_name, res in segments.items():
+                seg_rows.append(
+                    (f"{model_name}/{gallery_name}", seg_name,
+                     float(res["threshold_results"]["rank1_accuracy"].iloc[0]))
+                )
+    if seg_rows:
+        configs = sorted({r[0] for r in seg_rows})
+        segments = sorted({r[1] for r in seg_rows})
+        fig, ax = plt.subplots(figsize=(max(8, len(segments) * 1.1), 5))
+        width = 0.8 / max(len(configs), 1)
+        for ci, cfg in enumerate(configs):
+            vals = [
+                next((v for c, s, v in seg_rows if c == cfg and s == seg), 0.0)
+                for seg in segments
+            ]
+            xs = [i + ci * width for i in range(len(segments))]
+            ax.bar(xs, vals, width=width, label=cfg)
+        ax.set_xticks([i + 0.4 for i in range(len(segments))])
+        ax.set_xticklabels(segments, rotation=30, ha="right", fontsize=8)
+        ax.set_ylabel("rank-1 accuracy")
+        ax.set_title("Per-segment identification")
+        ax.legend(fontsize=7)
+        fig.tight_layout()
+        path = os.path.join(output_dir, "segmented_rank1.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
     return written
 
 
