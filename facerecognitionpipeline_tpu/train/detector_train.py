@@ -298,7 +298,8 @@ def sample_patches(
 # ------------------------------------------------------------------ trainer
 
 
-def _loss_fn(apply_fn, params, batch, with_landmarks: bool):
+def _loss_fn(apply_fn, params, batch, with_landmarks: bool,
+             ohem_fraction: float = 1.0):
     x = (batch["images"] - 127.5) / 128.0
     out = apply_fn({"params": params}, x)
     if with_landmarks:
@@ -313,6 +314,13 @@ def _loss_fn(apply_fn, params, batch, with_landmarks: bool):
     cls_mask = labels >= 0
     p = jnp.clip(prob, 1e-6, 1 - 1e-6)
     ce = -(labels * jnp.log(p) + (1 - labels) * jnp.log(1 - p))
+    if ohem_fraction < 1.0:
+        # online hard example mining: keep only the hardest fraction of the
+        # classified samples (standard MTCNN recipe)
+        masked_ce = jnp.where(cls_mask, ce, -1.0)
+        k = max(1, int(ce.shape[0] * ohem_fraction))
+        thresh = jnp.sort(masked_ce)[-k]
+        cls_mask = cls_mask & (masked_ce >= thresh)
     cls_loss = jnp.sum(ce * cls_mask) / jnp.maximum(jnp.sum(cls_mask), 1)
 
     reg_err = jnp.sum((reg - batch["reg"]) ** 2, axis=1)
@@ -341,6 +349,7 @@ def train_net(
     with_landmarks: bool = False,
     scene_fn: Optional[Callable] = None,
     log_every: int = 100,
+    ohem_fraction: float = 1.0,
 ) -> dict:
     """Train one cascade net on synthetic patches; returns its variables."""
     rng = np.random.default_rng(seed)
@@ -355,7 +364,7 @@ def train_net(
     def step(params, opt_state, batch_data):
         (loss, acc), grads = jax.value_and_grad(
             partial(_loss_fn, net.apply), has_aux=True
-        )(params, batch_data, with_landmarks)
+        )(params, batch_data, with_landmarks, ohem_fraction)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, acc
 
@@ -380,15 +389,17 @@ def train_detector(
     seed: int = 0,
     scene_fn: Optional[Callable] = None,
     log_every: int = 100,
+    ohem_fraction: float = 1.0,
 ) -> dict:
     """Train the full cascade; returns MTCNNDetector-compatible variables."""
     print("Training P-Net...")
     pnet = train_net(PNet(), 12, steps, batch, seed=seed, scene_fn=scene_fn,
-                     log_every=log_every)
+                     log_every=log_every, ohem_fraction=ohem_fraction)
     print("Training R-Net...")
     rnet = train_net(RNet(), 24, steps, batch, seed=seed + 1, scene_fn=scene_fn,
-                     log_every=log_every)
+                     log_every=log_every, ohem_fraction=ohem_fraction)
     print("Training O-Net...")
     onet = train_net(ONet(), 48, steps, batch, seed=seed + 2,
-                     with_landmarks=True, scene_fn=scene_fn, log_every=log_every)
+                     with_landmarks=True, scene_fn=scene_fn,
+                     log_every=log_every, ohem_fraction=ohem_fraction)
     return {"pnet": pnet, "rnet": rnet, "onet": onet}

@@ -15,6 +15,7 @@ CLI_MODULES = [
     "label_rename_utility",
     "evaluate_models",
     "train_embedder",
+    "detect_faces",
 ]
 
 SERVE_MODULES = {
