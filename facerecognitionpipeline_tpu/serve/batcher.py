@@ -96,7 +96,10 @@ class DeviceBatcher:
             try:
                 frames = np.stack([f for f, _ in items])
                 n = frames.shape[0]
-                b = _bucket(n, self.max_batch)
+                # Always pad to max_batch: ONE compiled program for every
+                # traffic level (power-of-two buckets would each pay a full
+                # compile the first time they occur under live traffic).
+                b = self.max_batch
                 if b > n:
                     frames = np.concatenate(
                         [frames, np.zeros((b - n, *frames.shape[1:]), frames.dtype)]
@@ -105,11 +108,15 @@ class DeviceBatcher:
                 out = self.engine.process_frames(
                     frames, templates, valid, gallery_k=self.top_k
                 )
+                # Fetch only the small per-face fields eagerly; the aligned
+                # crop tensor ([B,F,112,112,3] — megabytes) stays on device
+                # and consumers np.asarray() individual valid faces lazily.
+                aligned = out.pop("aligned")
                 host = jax.device_get(out)
                 for i, (_, fut) in enumerate(items):
-                    fut.set_result(
-                        jax.tree.map(lambda a, i=i: a[i], host)
-                    )
+                    result = jax.tree.map(lambda a, i=i: a[i], host)
+                    result["aligned"] = aligned[i]
+                    fut.set_result(result)
             except Exception as e:  # propagate to all waiters
                 for _, fut in items:
                     if not fut.done():
