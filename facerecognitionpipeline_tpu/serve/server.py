@@ -98,6 +98,7 @@ class FaceRecognitionServer:
         batch_wait_ms: float = 5.0,
         engine=None,
         gallery: Optional[GalleryManager] = None,
+        warmup: bool = True,
     ):
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
@@ -144,6 +145,13 @@ class FaceRecognitionServer:
             max_batch=batch_max, max_wait_ms=batch_wait_ms, top_k=3,
         )
         self.batcher.start()
+        if warmup:
+            # Compile the fused step before accepting traffic: the first
+            # request must not pay (and time out on) a cold compile.
+            print("Warming the recognition engine (first compile)...")
+            dummy = np.zeros((det_size[0], det_size[1], 3), np.uint8)
+            self.batcher.submit(dummy).result(timeout=1800)
+            print("Engine ready.")
 
         # session state
         self.session_name: Optional[str] = None
@@ -262,7 +270,7 @@ class FaceRecognitionServer:
         canvas, scale = self._letterbox(frame_rgb)
         # device work is batched across threads; everything after the result
         # returns is host-side and fast
-        result = self.batcher.submit(canvas).result(timeout=60)
+        result = self.batcher.submit(canvas).result(timeout=600)
 
         # Collect valid, quality-passing faces in ORIGINAL frame coordinates.
         faces: List[Dict] = []
