@@ -215,6 +215,15 @@ class GalleryManager:
         self._sync_device()
         return self._device._templates, self._device._valid
 
+    def device_snapshot(self):
+        """(templates [Gpad,512], valid [Gpad], ids list) — one CONSISTENT
+        snapshot for batched dispatch. Consumers must resolve match indices
+        against the returned ids list, not a later ``id_at`` call: a gallery
+        mutation between dispatch and consumption would shift indices and
+        mislabel matches."""
+        self._sync_device()
+        return self._device._templates, self._device._valid, list(self._device._ids)
+
     def id_at(self, index: int) -> Optional[str]:
         """Gallery pad-index -> student_id (None for padded slots)."""
         self._sync_device()

@@ -18,6 +18,7 @@ R-net -> `max_faces` out of O-net.
 from __future__ import annotations
 
 import math
+import sys
 from typing import List, Optional
 
 import jax
@@ -92,7 +93,8 @@ class MTCNNDetector:
         else:
             print(
                 "[MTCNNDetector] No weights provided; using random init "
-                "(detections will be meaningless until weights are loaded)."
+                "(detections will be meaningless until weights are loaded).",
+                file=sys.stderr,
             )
             self.variables = init_detector_variables()
             self.pretrained = False
@@ -113,13 +115,15 @@ class MTCNNDetector:
         if path.endswith(".npz"):
             import flax
 
-            blob = np.load(path, allow_pickle=True)
+            # plain-array archives only — never execute pickled code from a
+            # weights path
+            blob = np.load(path, allow_pickle=False)
             return flax.traverse_util.unflatten_dict(
                 {tuple(k.split("/")): blob[k] for k in blob.files}
             )
         import torch
 
-        blob = torch.load(path, map_location="cpu", weights_only=False)
+        blob = torch.load(path, map_location="cpu", weights_only=True)
         return load_mtcnn_torch_statedict(blob)
 
     def save_npz(self, path: str) -> None:

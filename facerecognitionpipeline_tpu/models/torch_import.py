@@ -113,15 +113,31 @@ def convert_statedict(statedict: Mapping[str, Any], architecture: str) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def load_adaface_checkpoint(path: str, architecture: str) -> dict:
+def load_adaface_checkpoint(
+    path: str, architecture: str, trusted: bool = False
+) -> dict:
     """Load an AdaFace `.ckpt` (Lightning) or raw statedict file from disk.
 
     Accepts the zoo's checkpoint format: `{'state_dict': {'model.<k>': ...}}`
     or a bare statedict. Requires torch only for deserialization.
+
+    Loads with ``weights_only=True`` by default so an untrusted checkpoint
+    path cannot execute arbitrary pickled code. Some Lightning checkpoints
+    embed non-tensor objects that the safe loader rejects; pass
+    ``trusted=True`` only for checkpoints from a source you control.
     """
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not trusted:
+            raise ValueError(
+                f"{path}: not loadable with weights_only=True (it pickles "
+                "non-tensor objects). If this checkpoint comes from a source "
+                "you trust, re-load with trusted=True."
+            )
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
     return convert_statedict(strip_prefix(sd), architecture)
 

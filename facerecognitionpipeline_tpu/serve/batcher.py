@@ -40,7 +40,11 @@ class DeviceBatcher:
         max_wait_ms: float = 5.0,
         top_k: int = 3,
     ):
-        """gallery_provider() -> (templates, valid) device arrays."""
+        """gallery_provider() -> (templates, valid) device arrays, or
+        (templates, valid, ids) — with ids, each result carries the id-list
+        snapshot captured at dispatch as ``result["gallery_ids"]`` so
+        consumers can resolve match indices race-free against a concurrently
+        mutating gallery."""
         self.engine = engine
         self.gallery_provider = gallery_provider
         self.max_batch = max_batch
@@ -104,7 +108,9 @@ class DeviceBatcher:
                     frames = np.concatenate(
                         [frames, np.zeros((b - n, *frames.shape[1:]), frames.dtype)]
                     )
-                templates, valid = self.gallery_provider()
+                snapshot = self.gallery_provider()
+                templates, valid = snapshot[0], snapshot[1]
+                gallery_ids = snapshot[2] if len(snapshot) > 2 else None
                 out = self.engine.process_frames(
                     frames, templates, valid, gallery_k=self.top_k
                 )
@@ -116,6 +122,8 @@ class DeviceBatcher:
                 for i, (_, fut) in enumerate(items):
                     result = jax.tree.map(lambda a, i=i: a[i], host)
                     result["aligned"] = aligned[i]
+                    if gallery_ids is not None:
+                        result["gallery_ids"] = gallery_ids
                     fut.set_result(result)
             except Exception as e:  # propagate to all waiters
                 for _, fut in items:

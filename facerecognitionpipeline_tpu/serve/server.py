@@ -31,6 +31,7 @@ import argparse
 import base64
 import json
 import os
+import re
 import threading
 import traceback
 from datetime import datetime
@@ -49,6 +50,22 @@ from facerecognitionpipeline_tpu.serve.tracker import (
 )
 from facerecognitionpipeline_tpu.telemetry.monitor import PerformanceMonitorServer
 from facerecognitionpipeline_tpu.utils.io import imwrite_rgb
+
+
+_SAFE_COMPONENT = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.\-]*")
+
+
+def _safe_path_component(value, what: str) -> str:
+    """Reject client-supplied strings that could escape output_dir when
+    joined into filesystem paths (the reference had the same unauthenticated
+    path traversal at face_recognition_server.py:232/530 — we fix it)."""
+    s = str(value)
+    if not _SAFE_COMPONENT.fullmatch(s) or ".." in s:
+        raise ValueError(
+            f"invalid {what}: {s!r} (allowed: [A-Za-z0-9_.-], no leading "
+            f"separator, no '..')"
+        )
+    return s
 
 
 def _decode_image_b64(data: str) -> Optional[np.ndarray]:
@@ -141,7 +158,7 @@ class FaceRecognitionServer:
             )
         self.engine = engine
         self.batcher = DeviceBatcher(
-            engine, self.gallery.device_arrays,
+            engine, self.gallery.device_snapshot,
             max_batch=batch_max, max_wait_ms=batch_wait_ms, top_k=3,
         )
         self.batcher.start()
@@ -171,6 +188,13 @@ class FaceRecognitionServer:
     # --------------------------------------------------------------- session
 
     def _create_session(self, session_name: str) -> None:
+        session_name = _safe_path_component(session_name, "session_name")
+        # Session swaps must serialize with in-flight frames: a concurrent
+        # /process_frame reads tracker/session state under self._lock.
+        with self._lock:
+            self._create_session_locked(session_name)
+
+    def _create_session_locked(self, session_name: str) -> None:
         self.session_name = session_name
         self.session_dir = os.path.join(self.output_dir, session_name)
         os.makedirs(self.session_dir, exist_ok=True)
@@ -274,17 +298,24 @@ class FaceRecognitionServer:
 
         # Collect valid, quality-passing faces in ORIGINAL frame coordinates.
         faces: List[Dict] = []
+        # Resolve match indices against the id-list snapshot captured by the
+        # batcher AT DISPATCH — calling gallery.id_at() here would re-sync
+        # the device gallery, and a concurrent mutation between dispatch and
+        # now would shift indices and mislabel matches.
+        gallery_ids = result.get("gallery_ids", [])
         for i in range(len(result["face_valid"])):
             if not (result["face_valid"][i] and result["quality_ok"][i]):
                 continue
             bbox = np.asarray(result["bboxes"][i]) / scale
             matches = []
             for k in range(result["match_scores"].shape[-1]):
-                sid = self.gallery.id_at(int(result["match_idx"][i, k]))
+                idx = int(result["match_idx"][i, k])
+                sid = gallery_ids[idx] if 0 <= idx < len(gallery_ids) else None
                 if sid is None:
                     continue
                 rec = self.gallery.get_student(sid)
-                matches.append((sid, rec.name, float(result["match_scores"][i, k])))
+                name = rec.name if rec is not None else sid
+                matches.append((sid, name, float(result["match_scores"][i, k])))
             faces.append(
                 {
                     "bbox": bbox,
@@ -532,15 +563,21 @@ class FaceRecognitionServer:
     # --------------------------------------------------------------- actions
 
     def save_snapshot(self, snapshot_base64: str, frame_count: int, timestamp: str) -> str:
+        timestamp = _safe_path_component(timestamp, "timestamp")
         raw = base64.b64decode(snapshot_base64)
         path = os.path.join(
-            self.snapshots_dir, f"snapshot_frame_{frame_count:06d}_{timestamp}.png"
+            self.snapshots_dir, f"snapshot_frame_{int(frame_count):06d}_{timestamp}.png"
         )
         with open(path, "wb") as f:
             f.write(raw)
         return path
 
     def finalize_session(self, client_report: Optional[Dict] = None) -> None:
+        # Serialize with in-flight frames (same reasoning as _create_session).
+        with self._lock:
+            self._finalize_session_locked(client_report)
+
+    def _finalize_session_locked(self, client_report: Optional[Dict] = None) -> None:
         session_end = datetime.now()
         duration = (session_end - self.session_start).total_seconds()
         if self.perf_monitor:
@@ -666,6 +703,10 @@ def make_handler(server: FaceRecognitionServer):
                     self._json({"status": "finalized"})
                 else:
                     self._json({"error": "not found"}, 404)
+            except ValueError as e:
+                # client-input validation failures (e.g. unsafe path
+                # components) are the client's fault, not a server error
+                self._json({"error": str(e), "error_type": "ValueError"}, 400)
             except Exception as e:
                 self._json(
                     {

@@ -224,6 +224,7 @@ class LiveRecognitionTracker:
         self.track_frame_buffers: Dict[int, deque] = {}
         self.track_first_seen: Dict[int, str] = {}
         self.track_last_seen: Dict[int, str] = {}
+        self._last_seen_monotonic: Dict[int, float] = {}
         self.track_last_attempt: Dict[int, str] = {}
         self.track_cooldowns: Dict[int, float] = {}
         self.recognition_interval = recognition_interval
@@ -242,6 +243,11 @@ class LiveRecognitionTracker:
             self.track_frame_buffers[track_id] = deque(maxlen=self.buffer_size)
             self.track_first_seen[track_id] = timestamp
         self.track_last_seen[track_id] = timestamp
+        # Age tracks by SERVER monotonic time, not the client-supplied
+        # timestamp string: client clock skew must not make the server drop
+        # live track state prematurely (or never GC it). The ISO timestamp
+        # is kept above for reporting only.
+        self._last_seen_monotonic[track_id] = time.monotonic()
         self.track_frame_buffers[track_id].append(face_data)
 
     def should_recognize(self, track_id: int, frame_count: int = 0) -> bool:
@@ -301,18 +307,18 @@ class LiveRecognitionTracker:
 
     def cleanup_stale_tracks(self, active_track_ids, max_age_seconds: float = 30.0):
         """Drop state for tracks the tracker no longer reports (fixes the
-        reference's method-on-wrong-object bug, face_recognition_server.py:355)."""
+        reference's method-on-wrong-object bug, face_recognition_server.py:355).
+
+        Ages by server-side ``time.monotonic()`` recorded at add_frame —
+        client-supplied timestamps are reporting-only (clock skew must not
+        drive GC decisions)."""
         active = set(active_track_ids)
-        now = datetime.now()
+        now = time.monotonic()
         for tid in list(self.track_frame_buffers):
             if tid in active:
                 continue
-            last = self.track_last_seen.get(tid)
-            age = (
-                (now - datetime.fromisoformat(last)).total_seconds()
-                if last
-                else max_age_seconds + 1
-            )
+            last = self._last_seen_monotonic.get(tid)
+            age = (now - last) if last is not None else max_age_seconds + 1
             if age > max_age_seconds:
                 for store in (
                     self.track_frame_buffers,
@@ -321,5 +327,6 @@ class LiveRecognitionTracker:
                     self.track_last_seen,
                     self.track_last_attempt,
                     self.track_cooldowns,
+                    self._last_seen_monotonic,
                 ):
                     store.pop(tid, None)

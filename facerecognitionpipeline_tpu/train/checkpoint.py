@@ -83,7 +83,8 @@ def load_npz_variables(path: str) -> dict:
     """Inverse of export_backbone (shared with detector npz loading)."""
     import flax
 
-    blob = np.load(path, allow_pickle=True)
+    # plain-array archives only — never execute pickled code from a ckpt path
+    blob = np.load(path, allow_pickle=False)
     return flax.traverse_util.unflatten_dict(
         {tuple(k.split("/")): blob[k] for k in blob.files}
     )

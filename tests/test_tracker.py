@@ -118,8 +118,15 @@ def test_live_tracker_best_frame_and_duration():
 
 def test_live_tracker_cleanup_stale():
     lt = LiveRecognitionTracker()
-    lt.add_frame(1, _face_dict(), "2020-01-01T00:00:00")  # ancient
+    # Client timestamps are ancient, but aging is by SERVER monotonic time:
+    # client clock skew must not drop live track state.
+    lt.add_frame(1, _face_dict(), "2020-01-01T00:00:00")
     lt.add_frame(2, _face_dict(), "2020-01-01T00:00:00")
+    lt.cleanup_stale_tracks(active_track_ids=[], max_age_seconds=30)
+    assert 1 in lt.track_frame_buffers and 2 in lt.track_frame_buffers
+    # Age track 1 past the horizon server-side; inactive+stale -> dropped.
+    lt._last_seen_monotonic[1] -= 31
     lt.cleanup_stale_tracks(active_track_ids=[2], max_age_seconds=30)
     assert 1 not in lt.track_frame_buffers
+    assert 1 not in lt._last_seen_monotonic
     assert 2 in lt.track_frame_buffers
