@@ -294,6 +294,129 @@ def crop_resize(
     ).astype(jnp.float32)
 
 
+def warp_affine_single_matmul(
+    image: jax.Array,
+    matrices: jax.Array,
+    out_h: int,
+    out_w: int,
+    patch_size: int = 128,
+    compute_dtype=jnp.bfloat16,
+    face_chunk: int = 8,
+) -> jax.Array:
+    """MXU formulation of `warp_affine_single`: extract F affine-warped crops
+    from ONE image with matmuls instead of gathers.
+
+    The round-1 profile showed the gather-based alignment warp at ~48 ms of a
+    164 ms fused step while doing ~zero FLOPs — pure gather latency (HBM
+    round-trips per descriptor). This version does the same work in two
+    MXU-resident stages:
+
+    A. Axis-aligned crop+resize of each face's source bounding box into a
+       fixed [patch_size, patch_size] patch via `crop_resize` (separable
+       interp-matrix matmuls, exact bilinear of the frame).
+    B. The residual similarity warp patch -> output as a dense per-pixel
+       bilinear contraction: out[o,c] = sum_v Wy[o,v] sum_u Wx[o,u] P[v,u,c],
+       where Wx/Wy are hat-function weights (<=2 nonzeros per row, computed
+       dense). This is EXACT bilinear sampling of the patch; the only
+       difference vs the single-gather path is the intermediate resampling
+       in stage A (a mild low-pass, bounded by tests vs the gather golden).
+
+    matrices: [F, 2, 3] FORWARD maps (src -> dst, cv2 convention).
+    Returns [F, out_h, out_w, C] float32.
+    """
+    h, w, c = image.shape
+    f = matrices.shape[0]
+    k = patch_size
+    inv = invert_affine(matrices)  # dst pixel -> src pixel
+
+    # Source-space bounding box of the output grid (affine => extrema at the
+    # output corners), padded for bilinear support.
+    corners = jnp.array(
+        [[0, 0], [out_w - 1, 0], [0, out_h - 1], [out_w - 1, out_h - 1]],
+        jnp.float32,
+    )  # (x, y)
+    src_c = (
+        jnp.einsum("fij,kj->fki", inv[:, :, :2], corners) + inv[:, None, :, 2]
+    )  # [F, 4, 2]
+    pad = 2.0
+
+    def _axis_box(lo, hi):
+        """Snap the box for stage-A exactness where possible: if the source
+        extent fits the patch, use an INTEGER-offset, scale-1 window — the
+        crop_resize interp weights become one-hot (a lossless pixel copy),
+        so stage B is exact bilinear of ORIGINAL pixels. Only faces larger
+        than the patch pay a (mild) stage-A downsample."""
+        lo = lo - pad
+        hi = hi + pad
+        ext = hi - lo
+        fits = ext <= k
+        start = jnp.floor(0.5 * (lo + hi) - 0.5 * k + 0.5)
+        return (
+            jnp.where(fits, start, lo),
+            jnp.where(fits, start + k, hi),
+        )
+
+    x1, x2 = _axis_box(src_c[:, :, 0].min(axis=1), src_c[:, :, 0].max(axis=1))
+    y1, y2 = _axis_box(src_c[:, :, 1].min(axis=1), src_c[:, :, 1].max(axis=1))
+    boxes = jnp.stack([x1, y1, x2, y2], axis=1)
+
+    patches = crop_resize(image, boxes, k, compute_dtype=compute_dtype)
+
+    # Per-output-pixel source coords -> patch coords. crop_resize samples
+    # patch pixel i at src = x1 + bw*(i+0.5)/k - 0.5, so the inverse is
+    # i = (src + 0.5 - x1)*k/bw - 0.5.
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+    sx = inv[:, 0, 0, None, None] * gx + inv[:, 0, 1, None, None] * gy + inv[:, 0, 2, None, None]
+    sy = inv[:, 1, 0, None, None] * gx + inv[:, 1, 1, None, None] * gy + inv[:, 1, 2, None, None]
+    bw = jnp.maximum(x2 - x1, 1e-6)[:, None, None]
+    bh = jnp.maximum(y2 - y1, 1e-6)[:, None, None]
+    px = ((sx + 0.5 - x1[:, None, None]) * (k / bw) - 0.5).reshape(f, -1)
+    py = ((sy + 0.5 - y1[:, None, None]) * (k / bh) - 0.5).reshape(f, -1)
+
+    pix = jnp.arange(k, dtype=jnp.float32)
+
+    def warp_chunk(args):
+        pxc, pyc, patchc = args  # [CH, O], [CH, O], [CH, K, K, C]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(pxc[:, :, None] - pix)).astype(
+            compute_dtype
+        )  # [CH, O, K]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(pyc[:, :, None] - pix)).astype(
+            compute_dtype
+        )
+        # rows: contract u on the MXU; [CH, O, K(v), C]
+        a = jnp.einsum(
+            "fou,fvuc->fovc", wx, patchc.astype(compute_dtype),
+            preferred_element_type=compute_dtype,
+        )
+        # columns: cheap weighted reduction over v
+        return jnp.einsum(
+            "fov,fovc->foc", wy, a, preferred_element_type=jnp.float32
+        )
+
+    # Chunk faces through lax.map to bound the [CH, O, K, C] intermediate.
+    ch = min(face_chunk, f)
+    n_pad = (-f) % ch
+    if n_pad:
+        px = jnp.concatenate([px, jnp.zeros((n_pad, px.shape[1]), px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((n_pad, py.shape[1]), py.dtype)])
+        patches = jnp.concatenate(
+            [patches, jnp.zeros((n_pad, *patches.shape[1:]), patches.dtype)]
+        )
+    n_chunks = (f + n_pad) // ch
+    out = jax.lax.map(
+        warp_chunk,
+        (
+            px.reshape(n_chunks, ch, -1),
+            py.reshape(n_chunks, ch, -1),
+            patches.reshape(n_chunks, ch, k, k, c),
+        ),
+    )
+    out = out.reshape(n_chunks * ch, out_h, out_w, c)[:f]
+    return out.astype(jnp.float32)
+
+
 def align_faces(
     image: jax.Array,
     landmarks: jax.Array,
@@ -309,3 +432,22 @@ def align_faces(
     """
     mats = similarity_transform(landmarks, template)
     return warp_affine_single(image, mats, output_size, output_size)
+
+
+def align_faces_matmul(
+    image: jax.Array,
+    landmarks: jax.Array,
+    template: jax.Array,
+    output_size: int = 112,
+    patch_size: int = 128,
+    compute_dtype=jnp.bfloat16,
+    face_chunk: int = 8,
+) -> jax.Array:
+    """`align_faces` on the MXU (see `warp_affine_single_matmul`): the hot
+    serving path — no gathers, two matmul stages."""
+    mats = similarity_transform(landmarks, template)
+    return warp_affine_single_matmul(
+        image, mats, output_size, output_size,
+        patch_size=patch_size, compute_dtype=compute_dtype,
+        face_chunk=face_chunk,
+    )

@@ -20,6 +20,7 @@ convention — but TPU-first:
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional, Sequence, Union
 
 import jax
@@ -105,7 +106,8 @@ class FaceEmbedder:
                     raise FileNotFoundError(f"Model weights not found at: {model_path}")
                 print(
                     f"[FaceEmbedder] No pretrained weights at {path}; "
-                    f"using random init (embeddings will not be identity-discriminative)."
+                    f"using random init (embeddings will not be identity-discriminative).",
+                    file=sys.stderr,
                 )
                 self.variables = self.model.init(
                     jax.random.PRNGKey(init_seed),
@@ -116,7 +118,7 @@ class FaceEmbedder:
         self._forward = jax.jit(self._forward_impl)
 
     def _load_weights(self, path: str) -> dict:
-        print(f"Loading {self.model_type} weights ({self.architecture}) from {path}...")
+        print(f"Loading {self.model_type} weights ({self.architecture}) from {path}...", file=sys.stderr)
         if path.endswith(".npz"):
             # framework-native format (train/checkpoint.py export_backbone)
             from facerecognitionpipeline_tpu.train.checkpoint import (

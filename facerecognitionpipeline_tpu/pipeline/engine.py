@@ -24,7 +24,11 @@ import numpy as np
 from facerecognitionpipeline_tpu.gallery.search import cosine_topk
 from facerecognitionpipeline_tpu.ops.image import normalize_face_batch
 from facerecognitionpipeline_tpu.ops.quality import QualityConfig, quality_check
-from facerecognitionpipeline_tpu.ops.warp import align_faces, reference_template
+from facerecognitionpipeline_tpu.ops.warp import (
+    align_faces,
+    align_faces_matmul,
+    reference_template,
+)
 
 
 class RecognitionEngine:
@@ -38,10 +42,20 @@ class RecognitionEngine:
         top_k: int = 3,
         align_size: int = 112,
         mesh=None,
+        align_impl: str = "matmul",
+        align_patch: int = 128,
+        align_chunk: int = 8,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
         batch shards across it (multi-chip serving: weights/gallery
-        replicated, frames data-parallel; B must divide the axis)."""
+        replicated, frames data-parallel; B must divide the axis).
+
+        align_impl: 'matmul' (default — MXU two-stage warp, no gathers; see
+        ops/warp.warp_affine_single_matmul) or 'gather' (the exact-bilinear
+        gather formulation; ~3x slower on TPU, kept as the semantic
+        reference). align_patch/align_chunk tune the matmul path: faces whose
+        source extent fits align_patch are bit-exact bilinear; larger faces
+        get an antialiased two-stage resample."""
         self.detector = detector
         self.embedder = embedder
         self.quality_config = quality_config or QualityConfig(
@@ -50,15 +64,24 @@ class RecognitionEngine:
         self.top_k = top_k
         self.align_size = align_size
         self.mesh = mesh
+        self.align_impl = align_impl
+        self.align_patch = align_patch
+        self.align_chunk = align_chunk
         self._template = jnp.asarray(reference_template(align_size))
         self._step = jax.jit(self._step_impl, static_argnames=("gallery_k",))
 
     # ------------------------------------------------------------ device step
 
     def _per_frame(self, frame_f32, det):
-        aligned = align_faces(
-            frame_f32, det["landmarks"], self._template, self.align_size
-        )
+        if self.align_impl == "matmul":
+            aligned = align_faces_matmul(
+                frame_f32, det["landmarks"], self._template, self.align_size,
+                patch_size=self.align_patch, face_chunk=self.align_chunk,
+            )
+        else:
+            aligned = align_faces(
+                frame_f32, det["landmarks"], self._template, self.align_size
+            )
         aligned = jnp.clip(jnp.round(aligned), 0.0, 255.0)
         ok, metrics = quality_check(
             det["scores"],
