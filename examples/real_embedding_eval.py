@@ -1,0 +1,137 @@
+"""Full evaluation-harness run on the reference's REAL AdaFace/ArcFace
+embeddings.
+
+The reference image ships no model weights, but its gallery backups carry
+real 512-d embeddings for 23 students x 8 samples across all four model
+configs (adaface/arcface x ir_50/ir_101). This script turns those into a
+proper eval corpus and drives the complete evaluation pipeline
+(identification / impostor rejection / verification / cross-model
+statistics) — the same protocol as reference temp.py:968-1141 — closing as
+much of the BASELINE accuracy-parity gap as this image allows.
+
+Protocol (fixed split, seeded):
+- 20 students are "enrolled": few-shot gallery = first 5 embeddings,
+  one-shot gallery = first 1; probes = remaining 3 embeddings each.
+- 3 students are held out entirely as REAL impostors (all 8 embeddings
+  each -> probe_negative), giving a genuine open-set protocol.
+
+Run:  python examples/real_embedding_eval.py [--output_dir reports/real_embedding_eval]
+"""
+
+import argparse
+import glob
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BACKUP_DIR = "/root/reference/gallery/backups"
+N_IMPOSTORS = 3
+N_GALLERY = 5
+
+
+def build_corpus(backup_json: str, model_dir: str) -> None:
+    with open(backup_json) as f:
+        students = json.load(f)["students"]
+
+    ids = sorted(students)  # deterministic
+    impostor_ids = ids[-N_IMPOSTORS:]
+    enrolled_ids = ids[:-N_IMPOSTORS]
+
+    galleries = {
+        "gallery_one-shot_base": {},
+        "gallery_few-shot_base": {},
+        # the raw embeddings ARE augmentation products (8 augs of one photo,
+        # enroll_students.py:20-48) so base==augmented here; keep both stems
+        # so the pipeline's 4-strategy loop runs.
+        "gallery_one-shot_augmented": {},
+        "gallery_few-shot_augmented": {},
+    }
+    probes = {}
+    negatives = {}
+
+    for sid in enrolled_ids:
+        rec = students[sid]
+        embs = np.asarray(rec["embeddings"], np.float32)
+        name = rec["name"]
+        galleries["gallery_one-shot_base"][name] = {"embeddings": embs[:1]}
+        galleries["gallery_one-shot_augmented"][name] = {"embeddings": embs[:1]}
+        galleries["gallery_few-shot_base"][name] = {"embeddings": embs[:N_GALLERY]}
+        galleries["gallery_few-shot_augmented"][name] = {
+            "embeddings": embs[:N_GALLERY]
+        }
+        probes[name] = {"embeddings": embs[N_GALLERY:]}
+
+    for sid in impostor_ids:
+        rec = students[sid]
+        negatives[rec["name"]] = {
+            "embeddings": np.asarray(rec["embeddings"], np.float32)
+        }
+
+    os.makedirs(model_dir, exist_ok=True)
+    for stem, data in galleries.items():
+        with open(os.path.join(model_dir, f"{stem}.pkl"), "wb") as f:
+            pickle.dump(data, f)
+    with open(os.path.join(model_dir, "probe_positive_unsegmented.pkl"), "wb") as f:
+        pickle.dump(probes, f)
+    with open(os.path.join(model_dir, "probe_negative.pkl"), "wb") as f:
+        pickle.dump(negatives, f)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", default="reports/real_embedding_eval")
+    p.add_argument("--embeddings_root", default=None,
+                   help="scratch dir for the generated corpus pickles")
+    args = p.parse_args()
+
+    from facerecognitionpipeline_tpu.evalharness.pipeline import (
+        run_complete_evaluation_pipeline,
+    )
+
+    backups = sorted(glob.glob(os.path.join(BACKUP_DIR, "*.json")))
+    if not backups:
+        print("reference gallery backups not mounted; nothing to do")
+        return 1
+
+    root = args.embeddings_root or os.path.join(args.output_dir, "_corpus")
+    models = []
+    for path in backups:
+        # adaface_ir_101_backup_20251202_084813.json -> adaface_ir_101
+        model = os.path.basename(path).split("_backup_")[0]
+        build_corpus(path, os.path.join(root, model))
+        models.append(model)
+
+    out = run_complete_evaluation_pipeline(
+        models, root, args.output_dir, make_plots=False
+    )
+
+    # compact headline summary for the repo
+    headline = {}
+    for model, res in out["results"].items():
+        basic = res["basic_probe"]["fewshot_base"]["mean"]
+        ver = res["verification"]["fewshot_base"]["mean"]
+        df = basic["threshold_results"]
+        headline[model] = {
+            "rank1_accuracy": float(df["rank1_accuracy"].iloc[0]),
+            "mrr": float(df["mrr"].iloc[0]),
+            "dprime": float(basic["dprime"]),
+            "roc_auc": float(ver["roc_auc"]),
+            "eer": float(ver["eer"]),
+            "tar_at_far_1pct": float(ver.get("tar_at_far_0.01", float("nan"))),
+            "n_enrolled": 20,
+            "n_probes": 60,
+            "n_impostor_embeddings": 24,
+        }
+    with open(os.path.join(args.output_dir, "headline.json"), "w") as f:
+        json.dump(headline, f, indent=2)
+    print(json.dumps(headline, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
