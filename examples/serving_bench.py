@@ -1,0 +1,136 @@
+"""Multi-client serving benchmark over real HTTP.
+
+Starts the full server (real fused engine, ir_101 bf16, 640px detection) on
+localhost, drives it with N concurrent synthetic 720p camera clients, and
+reports req/s + per-request latency percentiles. Baseline: the reference
+serves 1.33 req/s at 213 ms e2e with ONE client (BASELINE.md); its Flask
+thread pool runs the full python pipeline per request.
+
+Run:  python examples/serving_bench.py [--clients 1 4] [--seconds 30]
+Prints one JSON line per client count.
+"""
+
+import argparse
+import base64
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def encode_frame(frame_rgb: np.ndarray) -> str:
+    import cv2
+
+    ok, buf = cv2.imencode(".png", cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
+    assert ok
+    return base64.b64encode(buf.tobytes()).decode()
+
+
+def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
+    import requests
+
+    latencies: list = []
+    counts = [0] * n_clients
+    stop = time.perf_counter() + seconds
+
+    def worker(ci: int):
+        i = 0
+        while time.perf_counter() < stop:
+            body = {"frame": payloads[(ci + i) % len(payloads)], "frame_count": i}
+            t0 = time.perf_counter()
+            r = requests.post(f"{url}/process_frame", json=body, timeout=120)
+            dt = time.perf_counter() - t0
+            assert r.status_code == 200, r.text[:200]
+            latencies.append(dt)
+            counts[ci] += 1
+            i += 1
+
+    threads = [threading.Thread(target=worker, args=(c,)) for c in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat = np.array(latencies) * 1000
+    return {
+        "clients": n_clients,
+        "requests": int(sum(counts)),
+        "req_per_sec": round(sum(counts) / wall, 2),
+        "latency_p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "latency_p95_ms": round(float(np.percentile(lat, 95)), 1),
+    }
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--clients", type=int, nargs="+", default=[1, 4])
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--det", type=int, default=640)
+    p.add_argument("--batch_max", type=int, default=8)
+    p.add_argument("--architecture", default="ir_101")
+    args = p.parse_args()
+
+    from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+    from facerecognitionpipeline_tpu.serve.server import (
+        FaceRecognitionServer,
+        serve,
+    )
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="serving_bench_")
+    rng = np.random.default_rng(0)
+    gallery = GalleryManager(gallery_path=os.path.join(tmp, "g.pkl"), verbose=False)
+    embs = rng.normal(size=(23, 4, 512)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=-1, keepdims=True)
+    for i in range(23):
+        gallery.add_student(f"STU{i:04d}", f"Student {i}", embs[i])
+
+    print("Starting server (cold compile may take minutes)...", file=sys.stderr)
+    srv = FaceRecognitionServer(
+        gallery=gallery,
+        similarity_threshold=0.5,
+        output_dir=os.path.join(tmp, "sessions"),
+        det_size=(args.det, args.det),
+        architecture=args.architecture,
+        batch_max=args.batch_max,
+        max_faces=16,
+    )
+    httpd = serve(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+
+    import requests
+
+    requests.post(f"{url}/init_session", json={"session_name": "serving_bench"},
+                  timeout=30)
+
+    # 720p synthetic camera frames (same as round-1 measurement protocol)
+    payloads = [
+        encode_frame(rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+
+    try:
+        for n in args.clients:
+            # settle: one throwaway request per client
+            run_clients(url, n, min(5.0, args.seconds / 4), payloads)
+            result = run_clients(url, n, args.seconds, payloads)
+            result["baseline_req_per_sec"] = 1.33
+            result["vs_baseline"] = round(result["req_per_sec"] / 1.33, 2)
+            print(json.dumps(result), flush=True)
+    finally:
+        httpd.shutdown()
+        srv.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,35 +2,39 @@
 
 The BASELINE.json north star: "the server path batches incoming client frames
 into fixed-shape device buffers so detection+embedding amortize across
-streams". Request threads submit frames and block on a Future; a single
-dispatch thread drains the queue, pads to the next power-of-two batch, runs
-the ONE jitted detect->align->gate->embed->match program
-(`pipeline/engine.py`), and fans results back out. The reference instead ran
-the full python pipeline inline per request under Flask's thread pool
-(`face_recognition_server.py:939-969`).
+streams". The reference instead ran the full python pipeline inline per
+request under Flask's thread pool (`face_recognition_server.py:939-969`).
+
+Three-stage pipeline, one thread per stage, so the (slow: ~32 MB/s through
+this image's device tunnel) host<->device transfers overlap device compute:
+
+  submit()  -> ingress queue
+  transfer  -> jax.device_put each frame as it arrives (H2D overlaps the
+               running step and other clients' uploads)
+  dispatch  -> drain ready frames, stack ON DEVICE, pad to a compiled
+               bucket, issue the jitted step (async dispatch, NO blocking)
+  complete  -> device_get the small result fields, fan futures out (D2H
+               overlaps the next step's compute)
+
+Batch buckets: a single compiled shape per bucket size. Default buckets are
+(1, max_batch): a lone client pays a B=1 step instead of 8x padded compute,
+while concurrent traffic coalesces into the max_batch program. With a data-
+parallel mesh, buckets are filtered to multiples of the 'data' axis so the
+sharded step always divides evenly.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-import time
-from concurrent.futures import Future
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
 
 
-def _bucket(n: int, max_batch: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return min(b, max_batch)
-
-
 class DeviceBatcher:
-    """Single-dispatcher batching front of the jitted recognition step."""
+    """Pipelined batching front of the jitted recognition step."""
 
     def __init__(
         self,
@@ -39,6 +43,7 @@ class DeviceBatcher:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         top_k: int = 3,
+        bucket_sizes: Optional[Sequence[int]] = None,
     ):
         """gallery_provider() -> (templates, valid) device arrays, or
         (templates, valid, ids) — with ids, each result carries the id-list
@@ -50,34 +55,92 @@ class DeviceBatcher:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.top_k = top_k
-        self._queue: "queue.Queue[tuple[np.ndarray, Future]]" = queue.Queue()
+
+        buckets = sorted(set(bucket_sizes or (1, max_batch)))
+        mesh = getattr(engine, "mesh", None)
+        if mesh is not None and "data" in mesh.shape:
+            d = mesh.shape["data"]
+            buckets = [b for b in buckets if b % d == 0] or [
+                max(max_batch, d)
+            ]
+        self.bucket_sizes = [min(b, max_batch) for b in buckets]
+        if self.max_batch not in self.bucket_sizes:
+            self.bucket_sizes.append(self.max_batch)
+
+        self._ingress: "queue.Queue[tuple[np.ndarray, object]]" = queue.Queue()
+        self._ready: "queue.Queue[tuple[object, object]]" = queue.Queue()
+        self._done: "queue.Queue[tuple[object, object, list]]" = queue.Queue()
         self._stop = threading.Event()
-        self._thread: Optional[threading.Thread] = None
+        self._threads: list[threading.Thread] = []
+        self._zero_frame = None
+
+    # ----------------------------------------------------------- lifecycle
 
     def start(self) -> None:
-        if self._thread is None:
-            self._thread = threading.Thread(target=self._run, daemon=True)
-            self._thread.start()
+        if self._threads:
+            return
+        for target, name in (
+            (self._transfer_run, "batcher-transfer"),
+            (self._dispatch_run, "batcher-dispatch"),
+            (self._complete_run, "batcher-complete"),
+        ):
+            t = threading.Thread(target=target, name=name, daemon=True)
+            t.start()
+            self._threads.append(t)
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=2.0)
-            self._thread = None
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []
 
-    def submit(self, frame: np.ndarray) -> Future:
+    def submit(self, frame: np.ndarray):
         """frame [H,W,3] uint8 at the engine's det_size. Returns a Future
         resolving to this frame's slice of the engine output (host arrays)."""
+        from concurrent.futures import Future
+
         fut: Future = Future()
-        self._queue.put((frame, fut))
+        self._ingress.put((frame, fut))
         return fut
 
-    # ------------------------------------------------------------- dispatch
+    def warmup(self, det_size: tuple[int, int]) -> None:
+        """Compile every bucket's program before accepting traffic. Calls
+        the engine directly (not through the queue) so each bucket shape is
+        compiled deterministically — staggered queue arrivals could dispatch
+        everything as B=1."""
+        h, w = det_size
+        snapshot = self.gallery_provider()
+        for b in self.bucket_sizes:
+            out = self.engine.process_frames(
+                np.zeros((b, h, w, 3), np.uint8),
+                snapshot[0], snapshot[1], gallery_k=self.top_k,
+            )
+            np.asarray(out["match_scores"][0, 0])  # fetch-verified settle
+
+    # ------------------------------------------------------------- stage 1
+
+    def _transfer_run(self) -> None:
+        """H2D uploads, decoupled from dispatch so they overlap compute."""
+        while not self._stop.is_set():
+            try:
+                frame, fut = self._ingress.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                dev = jax.device_put(np.ascontiguousarray(frame))
+                self._ready.put((dev, fut))
+            except Exception as e:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    # ------------------------------------------------------------- stage 2
 
     def _drain(self) -> list:
+        import time
+
         items = []
         try:
-            items.append(self._queue.get(timeout=0.1))
+            items.append(self._ready.get(timeout=0.1))
         except queue.Empty:
             return items
         deadline = self.max_wait_s
@@ -87,36 +150,63 @@ class DeviceBatcher:
             if remaining <= 0:
                 break
             try:
-                items.append(self._queue.get(timeout=remaining))
+                items.append(self._ready.get(timeout=remaining))
             except queue.Empty:
                 break
         return items
 
-    def _run(self) -> None:
+    def _bucket(self, n: int) -> int:
+        for b in self.bucket_sizes:
+            if b >= n:
+                return b
+        return self.max_batch
+
+    def _dispatch_run(self) -> None:
+        import jax.numpy as jnp
+
         while not self._stop.is_set():
             items = self._drain()
             if not items:
                 continue
             try:
-                frames = np.stack([f for f, _ in items])
-                n = frames.shape[0]
-                # Always pad to max_batch: ONE compiled program for every
-                # traffic level (power-of-two buckets would each pay a full
-                # compile the first time they occur under live traffic).
-                b = self.max_batch
+                n = len(items)
+                b = self._bucket(n)
+                frames = [f for f, _ in items]
                 if b > n:
-                    frames = np.concatenate(
-                        [frames, np.zeros((b - n, *frames.shape[1:]), frames.dtype)]
-                    )
+                    if self._zero_frame is None or (
+                        self._zero_frame.shape != frames[0].shape
+                    ):
+                        self._zero_frame = jnp.zeros_like(frames[0])
+                    frames.extend([self._zero_frame] * (b - n))
+                batch = jnp.stack(frames)  # device-side stack
                 snapshot = self.gallery_provider()
                 templates, valid = snapshot[0], snapshot[1]
                 gallery_ids = snapshot[2] if len(snapshot) > 2 else None
                 out = self.engine.process_frames(
-                    frames, templates, valid, gallery_k=self.top_k
+                    batch, templates, valid, gallery_k=self.top_k
                 )
+                # async dispatch: hand to the completion stage WITHOUT
+                # blocking, so the next batch's drain/stack/dispatch
+                # overlaps this step's device compute
+                self._done.put((out, gallery_ids, items))
+            except Exception as e:
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    # ------------------------------------------------------------- stage 3
+
+    def _complete_run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                out, gallery_ids, items = self._done.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
                 # Fetch only the small per-face fields eagerly; the aligned
                 # crop tensor ([B,F,112,112,3] — megabytes) stays on device
                 # and consumers np.asarray() individual valid faces lazily.
+                out = dict(out)
                 aligned = out.pop("aligned")
                 host = jax.device_get(out)
                 for i, (_, fut) in enumerate(items):
@@ -125,7 +215,7 @@ class DeviceBatcher:
                     if gallery_ids is not None:
                         result["gallery_ids"] = gallery_ids
                     fut.set_result(result)
-            except Exception as e:  # propagate to all waiters
+            except Exception as e:
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)

@@ -32,6 +32,7 @@ import base64
 import json
 import os
 import re
+import sys
 import threading
 import traceback
 from datetime import datetime
@@ -116,7 +117,14 @@ class FaceRecognitionServer:
         engine=None,
         gallery: Optional[GalleryManager] = None,
         warmup: bool = True,
+        mesh_data: Optional[int] = None,
+        batch_buckets: Optional[tuple[int, ...]] = None,
     ):
+        """mesh_data: shard the fused recognition step data-parallel over
+        this many devices (jax.sharding Mesh 'data' axis; weights/gallery
+        replicate, the frame batch splits). batch_max must be a multiple.
+        batch_buckets: compiled batch shapes (default (1, batch_max) — a
+        lone client pays a B=1 step instead of batch_max x padded compute)."""
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
         self.model_type = model_type
@@ -147,6 +155,16 @@ class FaceRecognitionServer:
                 architecture=architecture, model_type=model_type,
                 model_path=model_path, dtype=jnp.bfloat16,
             )
+            mesh = None
+            if mesh_data and mesh_data > 1:
+                from facerecognitionpipeline_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(data=mesh_data)
+                if batch_max % mesh_data:
+                    raise ValueError(
+                        f"batch_max={batch_max} must be a multiple of "
+                        f"mesh_data={mesh_data}"
+                    )
             engine = RecognitionEngine(
                 detector,
                 embedder,
@@ -155,20 +173,24 @@ class FaceRecognitionServer:
                     check_blur=True, blur_threshold=50.0,
                 ),
                 top_k=3,
+                mesh=mesh,
             )
         self.engine = engine
         self.batcher = DeviceBatcher(
             engine, self.gallery.device_snapshot,
             max_batch=batch_max, max_wait_ms=batch_wait_ms, top_k=3,
+            bucket_sizes=batch_buckets,
         )
         self.batcher.start()
         if warmup:
-            # Compile the fused step before accepting traffic: the first
+            # Compile every batch bucket before accepting traffic: the first
             # request must not pay (and time out on) a cold compile.
-            print("Warming the recognition engine (first compile)...")
-            dummy = np.zeros((det_size[0], det_size[1], 3), np.uint8)
-            self.batcher.submit(dummy).result(timeout=1800)
-            print("Engine ready.")
+            print(
+                f"Warming the recognition engine "
+                f"(buckets {self.batcher.bucket_sizes})...", file=sys.stderr
+            )
+            self.batcher.warmup(det_size)
+            print("Engine ready.", file=sys.stderr)
 
         # session state
         self.session_name: Optional[str] = None
@@ -750,6 +772,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Max frames coalesced into one device step")
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
     p.add_argument("--max_faces", type=int, default=16)
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="Shard the fused step data-parallel over this many "
+                        "devices (batch_max must be a multiple)")
     # accepted for reference-CLI compatibility; device choice is JAX's
     p.add_argument("--use_gpu", action="store_true")
     p.add_argument("--use_cpu", action="store_true")
@@ -772,6 +797,7 @@ def main(argv=None) -> int:
         batch_max=args.batch_max,
         batch_wait_ms=args.batch_wait_ms,
         max_faces=args.max_faces,
+        mesh_data=args.mesh_data,
     )
     httpd = serve(server, args.host, args.port)
     try:

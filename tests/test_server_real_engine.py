@@ -35,7 +35,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_server_full_pipeline_real_engine(tmp_path):
+def _run_server_flow(tmp_path, mesh=None, batch_max=4):
     detector = MTCNNDetector(
         det_size=(160, 160), max_faces=4, min_face_size=20,
         weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
@@ -48,6 +48,7 @@ def test_server_full_pipeline_real_engine(tmp_path):
             max_roll=90, check_blur=False,
         ),
         top_k=3,
+        mesh=mesh,
     )
 
     # render one identity; enroll its detector-aligned crop
@@ -76,9 +77,16 @@ def test_server_full_pipeline_real_engine(tmp_path):
         engine=engine,
         det_size=(160, 160),
         max_recognition_attempts=3,
-        batch_max=4,
+        batch_max=batch_max,
         batch_wait_ms=2.0,
     )
+    if mesh is not None:
+        # mesh-aware bucket filtering: every compiled batch shape must
+        # divide over the 'data' axis
+        d = mesh.shape["data"]
+        assert all(b % d == 0 for b in srv.batcher.bucket_sizes), (
+            srv.batcher.bucket_sizes
+        )
     httpd = serve(srv, host="127.0.0.1", port=0)
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -109,3 +117,16 @@ def test_server_full_pipeline_real_engine(tmp_path):
     finally:
         httpd.shutdown()
         srv.shutdown()
+
+
+def test_server_full_pipeline_real_engine(tmp_path):
+    _run_server_flow(tmp_path)
+
+
+def test_server_full_pipeline_data_parallel_mesh(tmp_path):
+    """Multi-chip serving as a product path: HTTP -> batcher -> the fused
+    step sharded over a 4-device 'data' mesh -> attendance (VERDICT r1 #4).
+    Runs on the test suite's 8 virtual CPU devices."""
+    from facerecognitionpipeline_tpu.parallel.mesh import make_mesh
+
+    _run_server_flow(tmp_path, mesh=make_mesh(data=4), batch_max=4)
