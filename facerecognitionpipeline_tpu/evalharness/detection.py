@@ -60,7 +60,8 @@ def _draw_face(img, cx, cy, s, theta, rng, contrast: float = 1.0):
 
 def _draw_distractor(img, rng, size):
     """Face-LIKE hard negative: featureless skin ellipse, scrambled feature
-    blob, or skin rectangle — things a weak detector fires on."""
+    blob, or skin rectangle — things a weak detector fires on. Returns the
+    distractor's bounding box (for hard-negative patch sampling)."""
     import cv2
 
     kind = rng.integers(0, 3)
@@ -85,6 +86,7 @@ def _draw_distractor(img, rng, size):
     else:  # skin rectangle
         cv2.rectangle(img, (int(cx - 0.8 * s), int(cy - s)),
                       (int(cx + 0.8 * s), int(cy + s)), skin, -1)
+    return [cx - 0.85 * s, cy - 1.1 * s, cx + 0.85 * s, cy + 1.1 * s]
 
 
 def _background(rng, size):
@@ -202,8 +204,9 @@ def render_stress_training_scene(
             color = tuple(int(c) for c in rng.integers(0, 255, 3))
             cv2.rectangle(img, (int(ox), int(oy)),
                           (int(ox + frac * w), int(oy + frac * h)), color, -1)
-    for _ in range(int(rng.integers(0, 4))):
-        _draw_distractor(img, rng, size)
+    neg_boxes = [
+        _draw_distractor(img, rng, size) for _ in range(int(rng.integers(1, 5)))
+    ]
     if rng.random() < 0.3:
         noise = rng.normal(0, rng.uniform(5, 18), img.shape)
         img[:] = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
@@ -211,6 +214,7 @@ def render_stress_training_scene(
         img,
         np.asarray(boxes, np.float32).reshape(-1, 4),
         np.asarray(lms, np.float32).reshape(-1, 5, 2),
+        np.asarray(neg_boxes, np.float32).reshape(-1, 4),
     )
 
 # -------------------------------------------------------------- evaluation

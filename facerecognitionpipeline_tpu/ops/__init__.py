@@ -17,7 +17,11 @@ from facerecognitionpipeline_tpu.ops.warp import (  # noqa: F401
     similarity_transform,
     invert_affine,
     warp_affine,
+    warp_affine_single,
+    warp_affine_single_matmul,
     align_faces,
+    align_faces_matmul,
+    crop_resize,
     ARCFACE_TEMPLATE,
     reference_template,
 )

@@ -226,13 +226,19 @@ def sample_patches(
 
     i = 0
     while i < batch:
-        scene, boxes, lms = scene_fn(rng)
+        out = scene_fn(rng)
+        scene, boxes, lms = out[:3]
+        # optional 4th element: explicit hard-negative boxes (face-like
+        # distractors) — sampled as negative windows so the classifier sees
+        # them; random windows almost never land on them otherwise
+        neg_boxes = out[3] if len(out) > 3 else np.zeros((0, 4), np.float32)
         size = scene.shape[0]
         # ~half positives/parts (jittered gt windows), half random negatives
         for _ in range(8):
             if i >= batch:
                 break
-            if rng.random() < 0.55 and len(boxes):
+            r = rng.random()
+            if r < 0.55 and len(boxes):
                 j = rng.integers(0, len(boxes))
                 bx = boxes[j]
                 side = (bx[2] - bx[0] + bx[3] - bx[1]) / 2
@@ -240,6 +246,15 @@ def sample_patches(
                 w = side * rng.uniform(0.8, 1.25)
                 cxn = (bx[0] + bx[2]) / 2 + rng.uniform(-jitter, jitter) * side
                 cyn = (bx[1] + bx[3]) / 2 + rng.uniform(-jitter, jitter) * side
+                win = np.array([cxn - w / 2, cyn - w / 2, cxn + w / 2, cyn + w / 2])
+            elif r < 0.75 and len(neg_boxes):
+                # hard negative: a jittered window on a distractor
+                j = rng.integers(0, len(neg_boxes))
+                bx = neg_boxes[j]
+                side = max((bx[2] - bx[0] + bx[3] - bx[1]) / 2, 8.0)
+                w = side * rng.uniform(0.8, 1.3)
+                cxn = (bx[0] + bx[2]) / 2 + rng.uniform(-0.15, 0.15) * side
+                cyn = (bx[1] + bx[3]) / 2 + rng.uniform(-0.15, 0.15) * side
                 win = np.array([cxn - w / 2, cyn - w / 2, cxn + w / 2, cyn + w / 2])
             else:
                 w = rng.uniform(patch_size * 0.6, size * 0.7)
