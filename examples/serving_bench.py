@@ -23,10 +23,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def encode_frame(frame_rgb: np.ndarray) -> str:
+def encode_frame(frame_rgb: np.ndarray, image_format: str = "png") -> str:
     import cv2
 
-    ok, buf = cv2.imencode(".png", cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR))
+    ext = ".jpg" if image_format == "jpeg" else ".png"
+    args = [cv2.IMWRITE_JPEG_QUALITY, 92] if image_format == "jpeg" else []
+    ok, buf = cv2.imencode(ext, cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR), args)
     assert ok
     return base64.b64encode(buf.tobytes()).decode()
 
@@ -74,6 +76,7 @@ def main() -> int:
     p.add_argument("--det", type=int, default=640)
     p.add_argument("--batch_max", type=int, default=8)
     p.add_argument("--architecture", default="ir_101")
+    p.add_argument("--image_format", choices=("png", "jpeg"), default="png")
     args = p.parse_args()
 
     from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
@@ -114,7 +117,8 @@ def main() -> int:
 
     # 720p synthetic camera frames (same as round-1 measurement protocol)
     payloads = [
-        encode_frame(rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8))
+        encode_frame(rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8),
+                     args.image_format)
         for _ in range(4)
     ]
 
@@ -123,6 +127,7 @@ def main() -> int:
             # settle: one throwaway request per client
             run_clients(url, n, min(5.0, args.seconds / 4), payloads)
             result = run_clients(url, n, args.seconds, payloads)
+            result["image_format"] = args.image_format
             result["baseline_req_per_sec"] = 1.33
             result["vs_baseline"] = round(result["req_per_sec"] / 1.33, 2)
             print(json.dumps(result), flush=True)

@@ -31,6 +31,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_face_matcher_cli_single_image(tmp_path, rng, capsys):
     # render a scene with one identity
     scene, boxes, lms, _ = render_identity_scene(

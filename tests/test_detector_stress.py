@@ -72,6 +72,16 @@ def test_stress_scenes_render():
     assert len(neg_boxes) >= 1  # distractors exposed for hard-negative mining
 
 
+@pytest.fixture(scope="module")
+def base_detector():
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+
+    return MTCNNDetector(
+        det_size=(320, 320), max_faces=32, min_face_size=18,
+        weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+
+
 # -------------------------------------------------------------- regression
 
 
@@ -87,15 +97,10 @@ def test_stress_scenes_render():
         ("occlusion", 0.55, 0.55),
     ],
 )
-def test_shipped_weights_stress_thresholds(category, min_recall, min_ap):
-    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
-
-    det = MTCNNDetector(
-        det_size=(320, 320), max_faces=32, min_face_size=18,
-        weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
-    )
+def test_shipped_weights_stress_thresholds(base_detector, category, min_recall,
+                                           min_ap):
     r = evaluate_detector_category(
-        det, category, n_scenes=5, seed=1, operating_threshold=0.5,
+        base_detector, category, n_scenes=5, seed=1, operating_threshold=0.5,
     )
     assert r["operating_point"]["recall"] >= min_recall, r["operating_point"]
     assert r["ap"] >= min_ap, r["ap"]
@@ -132,14 +137,9 @@ def test_stress_retrained_weights_beat_base_on_stress_axes():
 
 
 @pytest.mark.skipif(not os.path.exists(WEIGHTS), reason="weights not present")
-def test_shipped_weights_hard_negative_rate():
-    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
-
-    det = MTCNNDetector(
-        det_size=(320, 320), max_faces=32, min_face_size=18,
-        weights_path=WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
-    )
+def test_shipped_weights_hard_negative_rate(base_detector):
     r = evaluate_detector_category(
-        det, "hard_negatives", n_scenes=5, seed=1, operating_threshold=0.5,
+        base_detector, "hard_negatives", n_scenes=5, seed=1,
+        operating_threshold=0.5,
     )
     assert r["operating_point"]["false_positives_per_image"] <= 4.0

@@ -40,6 +40,7 @@ def test_dryrun_multichip_in_default_env():
     assert "dryrun_multichip(8): ok" in proc.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_forced_cpu_subprocess():
     """The cheap variant: invoke with 8 devices from a 1-ish device env by
     forcing the marker path directly (no axon tunnel involved)."""

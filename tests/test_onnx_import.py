@@ -146,6 +146,7 @@ def iresnet_ref():
     return model
 
 
+@pytest.mark.slow
 def test_onnx_arcface_parity(tmp_path, iresnet_ref, rng):
     """ONNX-bytes -> parser -> mapper -> flax forward equals torch iresnet
     up to the final L2-normalize (the backbone adds it; iresnet users do it

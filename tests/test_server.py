@@ -181,6 +181,24 @@ def test_client_against_server(server):
     assert report["frame_statistics"]["total_network_requests"] == 3
 
 
+def test_client_jpeg_payload(server):
+    """--image_format jpeg: ~10x smaller payloads; the server's imdecode
+    handles either codec transparently."""
+    srv, url, tmp_path = server
+    client = FaceRecognitionClient(
+        server_url=url,
+        session_name="jpeg_run",
+        synthetic=True,
+        frame_skip=2,
+        max_frames=4,
+        display=False,
+        output_dir=str(tmp_path / "client_sessions_jpeg"),
+        image_format="jpeg",
+    )
+    assert client.run() == 0
+    assert client.recognized_tracks  # full pipeline worked on jpeg frames
+
+
 def test_batcher_coalesces_concurrent_clients(server, rng):
     """Concurrent requests share device steps through the batcher."""
     srv, url, tmp_path = server

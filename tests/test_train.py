@@ -42,6 +42,7 @@ def mesh():
     return Mesh(dev, axis_names=("data", "model"))
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(mesh, rng):
     cfg = TrainConfig(
         architecture="ir_micro", num_classes=64, loss="adaface", learning_rate=0.01

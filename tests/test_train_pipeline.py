@@ -57,6 +57,7 @@ def mesh():
     return Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_and_export(tmp_path, mesh, rng):
     cfg = TrainConfig(architecture="ir_micro", num_classes=16, learning_rate=0.01)
     trainer = Trainer(cfg, mesh)
@@ -100,6 +101,7 @@ def test_checkpoint_resume_and_export(tmp_path, mesh, rng):
     np.testing.assert_allclose(np.linalg.norm(e), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_cli_synthetic_smoke(tmp_path):
     """Drive the real CLI end-to-end on synthetic data (tiny mesh/model)."""
     from facerecognitionpipeline_tpu.cli.train_embedder import main
