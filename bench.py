@@ -24,16 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     import os
 
-    import jax
+    import jax  # noqa: F401
 
     # Persistent compilation cache: the fused 640px pipeline takes minutes to
     # compile cold; cached re-runs (e.g. the driver's bench) start instantly.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from facerecognitionpipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 

@@ -84,6 +84,11 @@ def main() -> int:
         FaceRecognitionServer,
         serve,
     )
+    from facerecognitionpipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
 
     import tempfile
 

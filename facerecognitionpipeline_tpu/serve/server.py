@@ -782,6 +782,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from facerecognitionpipeline_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     server = FaceRecognitionServer(
         gallery_path=args.gallery_path,
