@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--learning_rate", type=float, default=0.1)
+    p.add_argument("--lr_schedule", choices=("constant", "cosine", "step"),
+                   default="constant",
+                   help="'step' follows the AdaFace x0.1 milestones scaled "
+                        "to --steps; 'cosine' decays to 0 over --steps")
+    p.add_argument("--warmup_steps", type=int, default=0)
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--data_parallel", type=int, default=0,
                    help="Mesh data axis (0 = all devices / model axis)")
@@ -100,6 +105,9 @@ def main(argv=None) -> int:
         scale=args.scale,
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
+        lr_schedule=args.lr_schedule,
+        total_steps=args.steps,
+        warmup_steps=args.warmup_steps,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     trainer = Trainer(cfg, mesh)

@@ -49,6 +49,12 @@ class TrainConfig:
     weight_decay: float = 5e-4
     ema_decay: float = 0.99        # adaface norm-stat EMA
     dtype: Any = jnp.float32
+    # LR schedule: 'constant', 'cosine' (decay to 0 over total_steps after
+    # linear warmup), or 'step' (x0.1 at the AdaFace milestones scaled to
+    # total_steps: 12/20, 16/20, 18/20 of the run)
+    lr_schedule: str = "constant"
+    total_steps: int = 10_000
+    warmup_steps: int = 0
 
 
 class Trainer:
@@ -60,12 +66,34 @@ class Trainer:
         self.model = build_backbone(config.architecture, dtype=config.dtype)
         self.tx = optax.chain(
             optax.add_decayed_weights(config.weight_decay),
-            optax.sgd(config.learning_rate, momentum=config.momentum),
+            optax.sgd(self._make_schedule(), momentum=config.momentum),
         )
         assert config.num_classes % mesh.shape["model"] == 0, (
             "num_classes must divide the model axis"
         )
         self._step = self._build_step()
+
+    def _make_schedule(self):
+        cfg = self.config
+        if cfg.lr_schedule == "cosine":
+            if cfg.warmup_steps > 0:
+                return optax.warmup_cosine_decay_schedule(
+                    0.0, cfg.learning_rate, cfg.warmup_steps, cfg.total_steps
+                )
+            return optax.cosine_decay_schedule(cfg.learning_rate, cfg.total_steps)
+        if cfg.lr_schedule == "step":
+            # AdaFace recipe: x0.1 at epochs 12/16/18 of 20, scaled to the run
+            milestones = {
+                int(cfg.total_steps * f): 0.1 for f in (0.6, 0.8, 0.9)
+            }
+            base = optax.piecewise_constant_schedule(cfg.learning_rate, milestones)
+            if cfg.warmup_steps > 0:
+                warm = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+                return optax.join_schedules([warm, base], [cfg.warmup_steps])
+            return base
+        if cfg.lr_schedule != "constant":
+            raise ValueError(f"unknown lr_schedule: {cfg.lr_schedule}")
+        return cfg.learning_rate
 
     # -------------------------------------------------------------- state
 

@@ -68,6 +68,40 @@ def test_train_step_runs_and_learns(mesh, rng):
     assert tuple(spec) == (None, "model")
 
 
+def test_lr_schedules():
+    """Schedule construction: warmup+cosine reaches peak then decays;
+    step drops x0.1 at the scaled AdaFace milestones."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:2]).reshape(1, 2)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    cfg = TrainConfig(
+        architecture="ir_micro", num_classes=64, learning_rate=0.1,
+        lr_schedule="cosine", total_steps=100, warmup_steps=10,
+    )
+    sched = Trainer(cfg, mesh)._make_schedule()
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(0.1, rel=1e-3)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
+
+    cfg = TrainConfig(
+        architecture="ir_micro", num_classes=64, learning_rate=0.1,
+        lr_schedule="step", total_steps=100,
+    )
+    sched = Trainer(cfg, mesh)._make_schedule()
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(61)) == pytest.approx(0.01, rel=1e-3)
+    assert float(sched(81)) == pytest.approx(0.001, rel=1e-3)
+    assert float(sched(91)) == pytest.approx(0.0001, rel=1e-3)
+
+    with pytest.raises(ValueError):
+        Trainer(
+            TrainConfig(architecture="ir_micro", num_classes=64,
+                        lr_schedule="nope"),
+            mesh,
+        )
+
+
 @pytest.mark.parametrize("loss", ["arcface", "cosface"])
 def test_train_step_other_losses(mesh, loss, rng):
     cfg = TrainConfig(
