@@ -26,6 +26,7 @@ from facerecognitionpipeline_tpu.ops.image import normalize_face_batch
 from facerecognitionpipeline_tpu.ops.quality import QualityConfig, quality_check
 from facerecognitionpipeline_tpu.ops.warp import (
     align_faces,
+    align_faces_batch_pallas,
     align_faces_matmul,
     reference_template,
 )
@@ -42,7 +43,7 @@ class RecognitionEngine:
         top_k: int = 3,
         align_size: int = 112,
         mesh=None,
-        align_impl: str = "matmul",
+        align_impl: str = "auto",
         align_patch: int = 128,
         align_chunk: int = 8,
     ):
@@ -50,12 +51,17 @@ class RecognitionEngine:
         batch shards across it (multi-chip serving: weights/gallery
         replicated, frames data-parallel; B must divide the axis).
 
-        align_impl: 'matmul' (default — MXU two-stage warp, no gathers; see
-        ops/warp.warp_affine_single_matmul) or 'gather' (the exact-bilinear
-        gather formulation; ~3x slower on TPU, kept as the semantic
-        reference). align_patch/align_chunk tune the matmul path: faces whose
-        source extent fits align_patch are bit-exact bilinear; larger faces
-        get an antialiased two-stage resample."""
+        align_impl: 'pallas' (fused stage-B VMEM kernel,
+        ops/pallas_warp.warp_patches — the fastest path), 'matmul' (MXU
+        two-stage warp, no gathers; see ops/warp.warp_affine_single_matmul)
+        or 'gather' (the exact-bilinear gather formulation; ~3x slower on
+        TPU, kept as the semantic reference). 'auto' (default) picks
+        'pallas' on single-device accelerator backends and 'matmul' under a
+        mesh (the SPMD partitioner can't split a pallas_call) or on CPU
+        (where interpret-mode Pallas is slower than XLA). align_patch tunes
+        the stage-A window: faces whose source extent fits it are bit-exact
+        bilinear; larger faces get an antialiased two-stage resample;
+        align_chunk applies to the 'matmul' path only."""
         self.detector = detector
         self.embedder = embedder
         self.quality_config = quality_config or QualityConfig(
@@ -64,6 +70,12 @@ class RecognitionEngine:
         self.top_k = top_k
         self.align_size = align_size
         self.mesh = mesh
+        if align_impl == "auto":
+            align_impl = (
+                "pallas"
+                if mesh is None and jax.default_backend() != "cpu"
+                else "matmul"
+            )
         self.align_impl = align_impl
         self.align_patch = align_patch
         self.align_chunk = align_chunk
@@ -72,18 +84,26 @@ class RecognitionEngine:
 
     # ------------------------------------------------------------ device step
 
-    def _per_frame(self, frame_f32, det):
+    def _align_batch(self, frames_f32, landmarks):
+        """[B,H,W,3] x [B,F,5,2] -> aligned [B,F,out,out,3] (impl dispatch)."""
+        if self.align_impl == "pallas":
+            return align_faces_batch_pallas(
+                frames_f32, landmarks, self._template, self.align_size,
+                patch_size=self.align_patch,
+            )
         if self.align_impl == "matmul":
-            aligned = align_faces_matmul(
-                frame_f32, det["landmarks"], self._template, self.align_size,
+            per_frame = lambda img, lmk: align_faces_matmul(
+                img, lmk, self._template, self.align_size,
                 patch_size=self.align_patch, face_chunk=self.align_chunk,
             )
         else:
-            aligned = align_faces(
-                frame_f32, det["landmarks"], self._template, self.align_size
+            per_frame = lambda img, lmk: align_faces(
+                img, lmk, self._template, self.align_size
             )
-        aligned = jnp.clip(jnp.round(aligned), 0.0, 255.0)
-        ok, metrics = quality_check(
+        return jax.vmap(per_frame)(frames_f32, landmarks)
+
+    def _per_frame_quality(self, det, aligned):
+        return quality_check(
             det["scores"],
             det["bboxes"],
             det["landmarks"],
@@ -91,7 +111,6 @@ class RecognitionEngine:
             aligned_faces=aligned if self.quality_config.check_blur else None,
             valid_mask=det["valid"],
         )
-        return aligned, ok, metrics
 
     def _step_impl(
         self,
@@ -114,7 +133,9 @@ class RecognitionEngine:
             )
         det = self.detector._detect_batch(det_vars, frames_f32)
 
-        aligned, ok, metrics = jax.vmap(self._per_frame)(frames_f32, det)
+        aligned = self._align_batch(frames_f32, det["landmarks"])
+        aligned = jnp.clip(jnp.round(aligned), 0.0, 255.0)
+        ok, metrics = jax.vmap(self._per_frame_quality)(det, aligned)
         b, f = aligned.shape[:2]
 
         # One backbone forward for every face slot of every frame.
