@@ -170,6 +170,16 @@ def main() -> None:
         det_out["landmarks"],
     )
 
+    if jax.default_backend() != "cpu":
+        from facerecognitionpipeline_tpu.ops.warp import align_faces_batch_pallas
+
+        res["align (pallas stage-B)"] = timed(
+            "align (pallas stage-B)",
+            lambda f, l: align_faces_batch_pallas(f, l, template, 112),
+            frames_f32,
+            det_out["landmarks"],
+        )
+
     res["quality gate"] = timed(
         "quality gate",
         lambda det, al: jax.vmap(

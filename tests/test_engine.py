@@ -35,3 +35,35 @@ def test_full_step_shapes(engine, rng):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
     # match idx within gallery pad bounds
     assert (np.asarray(out["match_idx"]) >= 0).all()
+
+
+def test_pallas_align_impl_matches_matmul(engine, rng):
+    """engine(align_impl='pallas') == engine(align_impl='matmul') end to end.
+
+    Covers the engine's dispatch into the fused Pallas stage-B warp
+    (interpret mode on CPU) — the default path on single-chip TPU via
+    align_impl='auto'.
+    """
+    frames = rng.integers(0, 256, size=(1, 160, 160, 3), dtype=np.uint8)
+    dg = DeviceGallery()
+    t = rng.normal(size=(5, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    dg.rebuild([f"id{i}" for i in range(5)], t)
+
+    pallas_engine = RecognitionEngine(
+        engine.detector, engine.embedder, top_k=2, align_impl="pallas"
+    )
+    a = engine.process_frames(frames, dg._templates, dg._valid, gallery_k=2)
+    b = pallas_engine.process_frames(frames, dg._templates, dg._valid, gallery_k=2)
+    # The XLA stage-B accumulates bf16 (+-0.5 absolute at pixel scale 255)
+    # where the kernel accumulates f32, so after rounding ~10% of pixels can
+    # land one grey level apart — but never more than a couple.
+    diff = np.abs(
+        np.asarray(a["aligned"], np.float32) - np.asarray(b["aligned"], np.float32)
+    )
+    assert diff.max() <= 2.0
+    assert diff.mean() < 0.3
+    np.testing.assert_allclose(
+        np.asarray(a["embeddings"]), np.asarray(b["embeddings"]), atol=5e-3
+    )
+    assert (np.asarray(a["quality_ok"]) == np.asarray(b["quality_ok"])).all()
