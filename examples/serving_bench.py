@@ -77,6 +77,7 @@ def main() -> int:
     p.add_argument("--batch_max", type=int, default=8)
     p.add_argument("--architecture", default="ir_101")
     p.add_argument("--image_format", choices=("png", "jpeg"), default="png")
+    p.add_argument("--transport", choices=("rgb", "i420"), default="rgb")
     args = p.parse_args()
 
     from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
@@ -109,6 +110,7 @@ def main() -> int:
         architecture=args.architecture,
         batch_max=args.batch_max,
         max_faces=16,
+        transport=args.transport,
     )
     httpd = serve(srv, host="127.0.0.1", port=0)
     port = httpd.server_address[1]
@@ -133,6 +135,7 @@ def main() -> int:
             run_clients(url, n, min(5.0, args.seconds / 4), payloads)
             result = run_clients(url, n, args.seconds, payloads)
             result["image_format"] = args.image_format
+            result["transport"] = args.transport
             result["baseline_req_per_sec"] = 1.33
             result["vs_baseline"] = round(result["req_per_sec"] / 1.33, 2)
             print(json.dumps(result), flush=True)

@@ -46,6 +46,7 @@ class RecognitionEngine:
         align_impl: str = "auto",
         align_patch: int = 128,
         align_chunk: int = 8,
+        input_format: str = "rgb",
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
         batch shards across it (multi-chip serving: weights/gallery
@@ -61,7 +62,12 @@ class RecognitionEngine:
         (where interpret-mode Pallas is slower than XLA). align_patch tunes
         the stage-A window: faces whose source extent fits it are bit-exact
         bilinear; larger faces get an antialiased two-stage resample;
-        align_chunk applies to the 'matmul' path only."""
+        align_chunk applies to the 'matmul' path only.
+
+        input_format: 'rgb' (frames [B,H,W,3] uint8) or 'i420' (frames
+        [B, H*3//2, W] uint8 planar YUV, converted to RGB ON DEVICE —
+        halves host->device bytes per frame, the serving ceiling on
+        bandwidth-constrained links; see ops/image.i420_to_rgb)."""
         self.detector = detector
         self.embedder = embedder
         self.quality_config = quality_config or QualityConfig(
@@ -79,8 +85,15 @@ class RecognitionEngine:
         self.align_impl = align_impl
         self.align_patch = align_patch
         self.align_chunk = align_chunk
+        if input_format not in ("rgb", "i420"):
+            raise ValueError(f"unknown input_format {input_format!r}")
+        self.input_format = input_format
         self._template = jnp.asarray(reference_template(align_size))
         self._step = jax.jit(self._step_impl, static_argnames=("gallery_k",))
+
+    def host_frame_shape(self, h: int, w: int) -> tuple[int, ...]:
+        """Per-frame host array shape the engine expects at det size (h, w)."""
+        return (h * 3 // 2, w) if self.input_format == "i420" else (h, w, 3)
 
     # ------------------------------------------------------------ device step
 
@@ -121,8 +134,15 @@ class RecognitionEngine:
         frames,
         gallery_k,
     ):
-        """frames [B,H,W,3] raw RGB -> everything, no host round-trips."""
-        frames_f32 = frames.astype(jnp.float32)
+        """frames (raw RGB [B,H,W,3] or planar I420 [B,H*3//2,W], per
+        `input_format`) -> everything, no host round-trips."""
+        if self.input_format == "i420":
+            from facerecognitionpipeline_tpu.ops.image import i420_to_rgb
+
+            h, w = frames.shape[1] * 2 // 3, frames.shape[2]
+            frames_f32 = i420_to_rgb(frames, h, w)
+        else:
+            frames_f32 = frames.astype(jnp.float32)
         if self.mesh is not None:
             # DP serving: frames shard over the 'data' axis; weights/gallery
             # replicate; XLA partitions the whole fused step accordingly.

@@ -110,9 +110,14 @@ class DeviceBatcher:
         everything as B=1."""
         h, w = det_size
         snapshot = self.gallery_provider()
+        frame_shape = (
+            self.engine.host_frame_shape(h, w)
+            if hasattr(self.engine, "host_frame_shape")
+            else (h, w, 3)
+        )
         for b in self.bucket_sizes:
             out = self.engine.process_frames(
-                np.zeros((b, h, w, 3), np.uint8),
+                np.zeros((b, *frame_shape), np.uint8),
                 snapshot[0], snapshot[1], gallery_k=self.top_k,
             )
             np.asarray(out["match_scores"][0, 0])  # fetch-verified settle

@@ -119,12 +119,17 @@ class FaceRecognitionServer:
         warmup: bool = True,
         mesh_data: Optional[int] = None,
         batch_buckets: Optional[tuple[int, ...]] = None,
+        transport: str = "rgb",
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights/gallery
         replicate, the frame batch splits). batch_max must be a multiple.
         batch_buckets: compiled batch shapes (default (1, batch_max) — a
-        lone client pays a B=1 step instead of batch_max x padded compute)."""
+        lone client pays a B=1 step instead of batch_max x padded compute).
+        transport: 'rgb' uploads [H,W,3] frames to the device; 'i420'
+        converts to planar YUV 4:2:0 on the host (cv2 native) and converts
+        back to RGB on device — HALF the host->device bytes per frame,
+        which is the serving ceiling on bandwidth-constrained links."""
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
         self.model_type = model_type
@@ -174,8 +179,10 @@ class FaceRecognitionServer:
                 ),
                 top_k=3,
                 mesh=mesh,
+                input_format=transport,
             )
         self.engine = engine
+        self.transport = getattr(engine, "input_format", "rgb")
         self.batcher = DeviceBatcher(
             engine, self.gallery.device_snapshot,
             max_batch=batch_max, max_wait_ms=batch_wait_ms, top_k=3,
@@ -314,6 +321,10 @@ class FaceRecognitionServer:
         self.frame_count = frame_count
 
         canvas, scale = self._letterbox(frame_rgb)
+        if self.transport == "i420":
+            from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
+
+            canvas = rgb_to_i420_host(canvas)
         # device work is batched across threads; everything after the result
         # returns is host-side and fast
         result = self.batcher.submit(canvas).result(timeout=600)
@@ -775,6 +786,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=None,
                    help="Shard the fused step data-parallel over this many "
                         "devices (batch_max must be a multiple)")
+    p.add_argument("--transport", type=str, default="rgb",
+                   choices=["rgb", "i420"],
+                   help="Host->device frame encoding: i420 halves upload "
+                        "bytes (YUV 4:2:0, device-side RGB conversion)")
     # accepted for reference-CLI compatibility; device choice is JAX's
     p.add_argument("--use_gpu", action="store_true")
     p.add_argument("--use_cpu", action="store_true")
@@ -803,6 +818,7 @@ def main(argv=None) -> int:
         batch_wait_ms=args.batch_wait_ms,
         max_faces=args.max_faces,
         mesh_data=args.mesh_data,
+        transport=args.transport,
     )
     httpd = serve(server, args.host, args.port)
     try:

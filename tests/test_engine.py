@@ -67,3 +67,40 @@ def test_pallas_align_impl_matches_matmul(engine, rng):
         np.asarray(a["embeddings"]), np.asarray(b["embeddings"]), atol=5e-3
     )
     assert (np.asarray(a["quality_ok"]) == np.asarray(b["quality_ok"])).all()
+
+
+def test_i420_transport_matches_rgb(engine, rng):
+    """engine(input_format='i420') on YUV frames == rgb engine on the
+    decoded equivalent — device-side color conversion slots in front of the
+    same fused step (halved H2D bytes for serving)."""
+    import cv2
+
+    from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
+
+    frames = rng.integers(0, 256, size=(1, 160, 160, 3), dtype=np.uint8)
+    yuv = np.stack([rgb_to_i420_host(f) for f in frames])
+    # What the host-side roundtrip loses (chroma subsample + studio swing)
+    # is not under test; feed the rgb engine the cv2-decoded equivalent so
+    # only the device-vs-cv2 conversion difference remains.
+    decoded = np.stack(
+        [cv2.cvtColor(y, cv2.COLOR_YUV2RGB_I420) for y in yuv]
+    )
+
+    dg = DeviceGallery()
+    t = rng.normal(size=(5, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    dg.rebuild([f"id{i}" for i in range(5)], t)
+
+    yuv_engine = RecognitionEngine(
+        engine.detector, engine.embedder, top_k=2, input_format="i420"
+    )
+    assert yuv_engine.host_frame_shape(160, 160) == (240, 160)
+    a = yuv_engine.process_frames(yuv, dg._templates, dg._valid, gallery_k=2)
+    b = engine.process_frames(decoded, dg._templates, dg._valid, gallery_k=2)
+    assert a["aligned"].shape == b["aligned"].shape
+    np.testing.assert_allclose(
+        np.asarray(a["bboxes"]), np.asarray(b["bboxes"]), atol=2.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["embeddings"]), np.asarray(b["embeddings"]), atol=0.05
+    )

@@ -46,3 +46,44 @@ def test_preprocess_resizes_larger_inputs(rng):
     out = np.asarray(preprocess_faces(faces))
     assert out.shape == (2, 112, 112, 3)
     assert out.dtype == np.float32
+
+
+def test_i420_to_rgb_matches_cv2(rng):
+    """Device I420->RGB vs cv2.COLOR_YUV2RGB_I420 on cv2-encoded frames."""
+    import cv2
+
+    from facerecognitionpipeline_tpu.ops.image import (
+        i420_to_rgb,
+        rgb_to_i420_host,
+    )
+
+    h, w = 64, 48
+    frames = rng.integers(0, 256, size=(3, h, w, 3), dtype=np.uint8)
+    yuv = np.stack([rgb_to_i420_host(f) for f in frames])
+    assert yuv.shape == (3, h * 3 // 2, w)
+
+    ours = np.asarray(i420_to_rgb(yuv, h, w))
+    for i in range(3):
+        golden = cv2.cvtColor(yuv[i], cv2.COLOR_YUV2RGB_I420).astype(np.float32)
+        diff = np.abs(ours[i] - golden)
+        # cv2 uses fixed-point coefficients; ours are the same BT.601
+        # constants in float. A couple of levels of quantization skew max.
+        assert diff.max() <= 4.0, diff.max()
+        assert diff.mean() < 1.0
+
+
+def test_i420_roundtrip_close_on_smooth_content(rng):
+    """RGB -> host I420 -> device RGB stays close where chroma is smooth."""
+    from facerecognitionpipeline_tpu.ops.image import (
+        i420_to_rgb,
+        rgb_to_i420_host,
+    )
+
+    h, w = 64, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    frame = np.stack(
+        [120 + 60 * np.sin(xx / 17), 100 + 50 * np.cos(yy / 23), xx * 2],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    back = np.asarray(i420_to_rgb(rgb_to_i420_host(frame)[None], h, w))[0]
+    assert np.abs(back - frame.astype(np.float32)).mean() < 3.0
