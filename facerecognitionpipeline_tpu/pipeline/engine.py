@@ -89,6 +89,7 @@ class RecognitionEngine:
             raise ValueError(f"unknown input_format {input_format!r}")
         self.input_format = input_format
         self._template = jnp.asarray(reference_template(align_size))
+        self._compiled_shapes: set = set()
         self._step = jax.jit(self._step_impl, static_argnames=("gallery_k",))
 
     def host_frame_shape(self, h: int, w: int) -> tuple[int, ...]:
@@ -193,6 +194,19 @@ class RecognitionEngine:
         gallery_k: Optional[int] = None,
     ) -> dict:
         """Host entry: [B,H,W,3] uint8 (det_size) -> device result dict."""
+        shape = tuple(frames.shape)
+        if shape not in self._compiled_shapes:
+            # Cold compiles through a remote tunnel can take minutes; say so
+            # instead of looking like a stalled request (serving warms its
+            # buckets up front, so this fires only for genuinely new shapes).
+            import sys as _sys
+
+            print(
+                f"[RecognitionEngine] compiling fused step for frames "
+                f"{shape} (first use of this shape; may take minutes cold)",
+                file=_sys.stderr,
+            )
+            self._compiled_shapes.add(shape)
         return self._step(
             self.detector.variables,
             self.embedder.variables,
