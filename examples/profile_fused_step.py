@@ -170,7 +170,7 @@ def main() -> None:
         det_out["landmarks"],
     )
 
-    if jax.default_backend() != "cpu":
+    if jax.default_backend() == "tpu":
         from facerecognitionpipeline_tpu.ops.warp import align_faces_batch_pallas
 
         res["align (pallas stage-B)"] = timed(

@@ -88,7 +88,15 @@ def i420_to_rgb(yuv: jax.Array, height: int, width: int) -> jax.Array:
     chroma upsample, full-range BT.601) within quantization error.
     """
     h, w = height, width
-    assert h % 2 == 0 and w % 2 == 0, "I420 needs even dimensions"
+    # w must be even for 4:2:0 chroma; h must be a multiple of FOUR: the
+    # U/V planes are h//4 rows of width w each, which only tiles the
+    # (h//2, w//2) chroma array when 4 | h (for h = 2 mod 4 cv2 packs U and
+    # V into shared rows, a layout this unpacking cannot represent).
+    if h % 4 or w % 2:
+        raise ValueError(
+            f"i420_to_rgb requires height % 4 == 0 and width % 2 == 0, "
+            f"got {h}x{w}"
+        )
     *lead, rows, cols = yuv.shape
     assert rows == h * 3 // 2 and cols == w, (
         f"expected [..., {h * 3 // 2}, {w}], got {yuv.shape}"

@@ -79,14 +79,28 @@ class RecognitionEngine:
         if align_impl == "auto":
             align_impl = (
                 "pallas"
-                if mesh is None and jax.default_backend() != "cpu"
+                if mesh is None and jax.default_backend() == "tpu"
                 else "matmul"
+            )
+        if align_impl not in ("pallas", "matmul", "gather"):
+            raise ValueError(f"unknown align_impl {align_impl!r}")
+        if align_impl == "pallas" and mesh is not None:
+            raise ValueError(
+                "align_impl='pallas' cannot run under a mesh (the SPMD "
+                "partitioner can't split a pallas_call); use 'matmul'"
             )
         self.align_impl = align_impl
         self.align_patch = align_patch
         self.align_chunk = align_chunk
         if input_format not in ("rgb", "i420"):
             raise ValueError(f"unknown input_format {input_format!r}")
+        if input_format == "i420":
+            dh, dw = getattr(detector, "det_size", (0, 0))
+            if dh % 4 or dw % 2:
+                raise ValueError(
+                    f"i420 input needs det height % 4 == 0 and width % 2 "
+                    f"== 0, got det_size {(dh, dw)}"
+                )
         self.input_format = input_format
         self._template = jnp.asarray(reference_template(align_size))
         self._compiled_shapes: set = set()
@@ -194,19 +208,26 @@ class RecognitionEngine:
         gallery_k: Optional[int] = None,
     ) -> dict:
         """Host entry: [B,H,W,3] uint8 (det_size) -> device result dict."""
-        shape = tuple(frames.shape)
-        if shape not in self._compiled_shapes:
-            # Cold compiles through a remote tunnel can take minutes; say so
-            # instead of looking like a stalled request (serving warms its
-            # buckets up front, so this fires only for genuinely new shapes).
+        # Cold compiles through a remote tunnel can take minutes; say so
+        # instead of looking like a stalled request. Keyed on every jit
+        # cache axis that varies in practice (frame shape, gallery padding,
+        # top-k) — serving warms its buckets up front, so this fires only
+        # for genuinely new programs (instant when persistently cached).
+        key = (
+            tuple(frames.shape),
+            tuple(gallery_templates.shape),
+            int(gallery_k or self.top_k),
+        )
+        if key not in self._compiled_shapes:
             import sys as _sys
 
             print(
                 f"[RecognitionEngine] compiling fused step for frames "
-                f"{shape} (first use of this shape; may take minutes cold)",
+                f"{key[0]}, gallery {key[1]}, k={key[2]} (first use of this "
+                f"shape in this process; may take minutes uncached)",
                 file=_sys.stderr,
             )
-            self._compiled_shapes.add(shape)
+            self._compiled_shapes.add(key)
         return self._step(
             self.detector.variables,
             self.embedder.variables,

@@ -182,7 +182,14 @@ class FaceRecognitionServer:
                 input_format=transport,
             )
         self.engine = engine
-        self.transport = getattr(engine, "input_format", "rgb")
+        engine_format = getattr(engine, "input_format", "rgb")
+        if transport != "rgb" and engine_format != transport:
+            raise ValueError(
+                f"transport={transport!r} but the provided engine expects "
+                f"input_format={engine_format!r} — build the engine with "
+                f"input_format={transport!r} or drop the transport flag"
+            )
+        self.transport = engine_format
         self.batcher = DeviceBatcher(
             engine, self.gallery.device_snapshot,
             max_batch=batch_max, max_wait_ms=batch_wait_ms, top_k=3,
