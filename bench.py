@@ -84,13 +84,17 @@ def main() -> None:
     sync(step())
 
     # Host<->device round-trip overhead of the sync fetch itself, to subtract
-    # (amortized) from the chained measurements below.
-    rt0 = time.perf_counter()
-    sync(step())  # one extra settled step so the fetch is the only wait...
-    t_rt = time.perf_counter()
-    np.asarray(jnp.zeros(()))
-    roundtrip = time.perf_counter() - t_rt
-    del rt0
+    # (amortized) from the chained measurements below. A single sample can
+    # catch the tunnel mid-hiccup and come out several times too large —
+    # which then OVER-corrects every chained sample — so take the best of
+    # several fully-drained probes.
+    sync(step())  # drain everything queued above
+    probes = []
+    for _ in range(5):
+        t_rt = time.perf_counter()
+        np.asarray(jnp.zeros(()))
+        probes.append(time.perf_counter() - t_rt)
+    roundtrip = min(probes)
 
     # Chain CHAIN steps per timed sample and fetch once: per-step time is
     # (chain_wall - roundtrip) / CHAIN, amortizing the sync fetch.

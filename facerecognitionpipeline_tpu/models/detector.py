@@ -75,10 +75,23 @@ class MTCNNDetector:
         variables: Optional[dict] = None,
         weights_path: Optional[str] = None,
         dtype=jnp.float32,
+        rnet_crop_downscale: int = 2,
     ):
+        """rnet_crop_downscale: R-net's 24x24 candidate crops resample from
+        the frame pre-downsampled by this factor (one separable-matmul
+        resize shared by all candidates) instead of the full-resolution
+        frame. The stage-2 crop_resize contraction is the single most
+        expensive piece of the cascade (~4.2 of detect's ~8.8 ms at 640px,
+        B=8x256 candidates, measured) and its cost scales with the source
+        width; a 24px crop of a >=`2*24`px box samples at >=1 source pixel
+        per output sample either way, so factor 2 changes scores only
+        marginally (stress-suite guarded). Set 1 to crop from full
+        resolution (exact round-1 behavior). O-net's 48px crops always use
+        the full-resolution frame (final localization + landmarks)."""
         self.det_size = det_size
         self.max_faces = max_faces
         self.thresholds = stage_thresholds or (0.6, 0.7, det_thresh)
+        self.rnet_crop_downscale = int(rnet_crop_downscale)
         self._crop_dtype = dtype  # cascade crops run on normalized [-1,1] data
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)
@@ -177,7 +190,22 @@ class MTCNNDetector:
     def _stage2(self, variables, img, boxes, scores, valid):
         h, w, _ = img.shape
         sq = jnp.clip(_square(boxes), 0, max(h, w))
-        crops = crop_resize(img, sq, 24, compute_dtype=self._crop_dtype)
+        d = self.rnet_crop_downscale
+        if d > 1 and h == w:  # crop_resize emits square frames only
+            # One shared separable-matmul downsample, then every candidate
+            # crops from the small frame: the per-candidate interp
+            # contraction shrinks by d x in the contracted dimension.
+            small = crop_resize(
+                img,
+                jnp.array([[0.0, 0.0, float(w), float(h)]], jnp.float32),
+                max(h, w) // d,
+                compute_dtype=self._crop_dtype,
+            )[0]
+            crops = crop_resize(
+                small, sq / d, 24, compute_dtype=self._crop_dtype
+            )
+        else:
+            crops = crop_resize(img, sq, 24, compute_dtype=self._crop_dtype)
         prob, reg = self.rnet.apply(variables["rnet"], crops)
         valid = valid & (prob > self.thresholds[1])
         boxes = _apply_reg(sq, reg)
