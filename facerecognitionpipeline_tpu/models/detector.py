@@ -76,6 +76,8 @@ class MTCNNDetector:
         weights_path: Optional[str] = None,
         dtype=jnp.float32,
         rnet_crop_downscale: int = 2,
+        stage1_keep: int = P_KEEP,
+        stage2_keep: int = R_KEEP,
     ):
         """rnet_crop_downscale: R-net's 24x24 candidate crops resample from
         the frame pre-downsampled by this factor (one separable-matmul
@@ -87,11 +89,20 @@ class MTCNNDetector:
         per output sample either way, so factor 2 changes scores only
         marginally (stress-suite guarded). Set 1 to crop from full
         resolution (exact round-1 behavior). O-net's 48px crops always use
-        the full-resolution frame (final localization + landmarks)."""
+        the full-resolution frame (final localization + landmarks).
+
+        stage1_keep / stage2_keep: padded candidate budgets surviving the
+        P-net and R-net stages (fixed shapes: every budget slot pays full
+        crop + conv compute in later stages whether occupied or not).
+        The defaults are load-bearing: halving to 128/64 was measured to
+        drop crowded-scene recall to 0.52 and tiny-face recall to 0 on the
+        stress suite — shrink only for single-face/large-face workloads."""
         self.det_size = det_size
         self.max_faces = max_faces
         self.thresholds = stage_thresholds or (0.6, 0.7, det_thresh)
         self.rnet_crop_downscale = int(rnet_crop_downscale)
+        self.stage1_keep = int(stage1_keep)
+        self.stage2_keep = int(stage2_keep)
         self._crop_dtype = dtype  # cascade crops run on normalized [-1,1] data
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)
@@ -184,7 +195,7 @@ class MTCNNDetector:
         valid = jnp.concatenate(all_valid)
 
         keep = nms_mask(boxes, scores, valid, iou_threshold=0.7)
-        boxes, scores, valid = topk_boxes(boxes, jnp.where(keep, scores, _NEG), keep, P_KEEP)
+        boxes, scores, valid = topk_boxes(boxes, jnp.where(keep, scores, _NEG), keep, self.stage1_keep)
         return boxes, scores, valid
 
     def _stage2(self, variables, img, boxes, scores, valid):
@@ -210,7 +221,7 @@ class MTCNNDetector:
         valid = valid & (prob > self.thresholds[1])
         boxes = _apply_reg(sq, reg)
         keep = nms_mask(boxes, prob, valid, iou_threshold=0.7)
-        boxes, scores, valid = topk_boxes(boxes, jnp.where(keep, prob, _NEG), keep, R_KEEP)
+        boxes, scores, valid = topk_boxes(boxes, jnp.where(keep, prob, _NEG), keep, self.stage2_keep)
         return boxes, scores, valid
 
     def _stage3(self, variables, img, boxes, scores, valid):
