@@ -70,9 +70,14 @@ def nms_mask(
         return (it < n) & jnp.any(keep != prev)
 
     def body(state):
+        # TWO sweeps per loop trip: sweeps are monotone toward the same
+        # fixpoint, so pairing them preserves the exact greedy result while
+        # halving the while_loop's per-iteration control overhead (three of
+        # these loops run per cascade frame).
         keep, _, it = state
-        suppressed = jnp.any(conflict & keep[None, :], axis=1)
-        return v & ~suppressed, keep, it + 1
+        mid = v & ~jnp.any(conflict & keep[None, :], axis=1)
+        nxt = v & ~jnp.any(conflict & mid[None, :], axis=1)
+        return nxt, keep, it + 2
 
     first = v & ~jnp.any(conflict & v[None, :], axis=1)
     keep_sorted, _, _ = jax.lax.while_loop(cond, body, (first, v, jnp.int32(1)))
