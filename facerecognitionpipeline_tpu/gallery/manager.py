@@ -273,7 +273,10 @@ class GalleryManager:
         with open(save_path, "wb") as f:
             pickle.dump(self.students, f)
 
-        json_path = save_path.replace(".pkl", ".json")
+        # splitext, not str.replace: for a path without '.pkl' the sidecar
+        # must not collide with (and overwrite) the pickle just written,
+        # and a '.pkl' in a PARENT directory name must not be rewritten.
+        json_path = os.path.splitext(save_path)[0] + ".json"
         json_data = {
             "num_students": len(self.students),
             "last_saved": datetime.now().isoformat(),

@@ -60,10 +60,15 @@ class DeviceBatcher:
         mesh = getattr(engine, "mesh", None)
         if mesh is not None and "data" in mesh.shape:
             d = mesh.shape["data"]
-            buckets = [b for b in buckets if b % d == 0] or [
-                max(max_batch, d)
-            ]
-        self.bucket_sizes = [min(b, max_batch) for b in buckets]
+            if max_batch % d:
+                raise ValueError(
+                    f"max_batch={max_batch} must be a multiple of the mesh "
+                    f"'data' axis size ({d})"
+                )
+            buckets = [b for b in buckets if b % d == 0 and b <= max_batch]
+            self.bucket_sizes = buckets or [max_batch]
+        else:
+            self.bucket_sizes = [min(b, max_batch) for b in buckets]
         if self.max_batch not in self.bucket_sizes:
             self.bucket_sizes.append(self.max_batch)
 

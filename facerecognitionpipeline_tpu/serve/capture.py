@@ -73,8 +73,8 @@ class CameraFaceCapture:
         """Detect every skip_frames-th frame; feed tracker + accumulator."""
         if self.frame_count % self.skip_frames != 0:
             return
-        faces = self.processor.process_numpy(frame_rgb, return_all=True)
-        valid = [f for f in faces if f["is_valid"]]
+        # return_all=False already keeps only quality-passing faces
+        valid = self.processor.process_numpy(frame_rgb)
         tracked = self.tracker.update(valid)
         self._last_tracked = tracked
         for track_id, face in tracked:

@@ -59,6 +59,7 @@ class LiveFaceRecognition:
             model_path=model_path,
             recognition_interval=recognition_interval,
             max_recognition_attempts=max_attempts,
+            tracker_mode="live",
         )
         self.session_name = session_name or datetime.now().strftime(
             "live_%Y%m%d_%H%M%S"

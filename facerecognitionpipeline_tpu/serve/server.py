@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import math
 import json
 import os
 import re
@@ -120,12 +121,16 @@ class FaceRecognitionServer:
         mesh_data: Optional[int] = None,
         batch_buckets: Optional[tuple[int, ...]] = None,
         transport: str = "rgb",
+        tracker_mode: str = "server",
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights/gallery
         replicate, the frame batch splits). batch_max must be a multiple.
         batch_buckets: compiled batch shapes (default (1, batch_max) — a
         lone client pays a B=1 step instead of batch_max x padded compute).
+        tracker_mode: 'server' = retry-cooldown gating (reference server
+        semantics); 'live' = every-Nth-frame gating with permanent
+        attempts (reference live-app semantics; used by serve/live.py).
         transport: 'rgb' uploads [H,W,3] frames to the device; 'i420'
         converts to planar YUV 4:2:0 on the host (cv2 native) and converts
         back to RGB on device — HALF the host->device bytes per frame,
@@ -141,6 +146,9 @@ class FaceRecognitionServer:
         self.max_tracking_distance = max_tracking_distance
         self.high_quality_crop_size = high_quality_crop_size
         self.enable_performance_monitoring = enable_performance_monitoring
+        if tracker_mode not in ("server", "live"):
+            raise ValueError(f"unknown tracker_mode {tracker_mode!r}")
+        self.tracker_mode = tracker_mode
 
         self.gallery = gallery or GalleryManager(gallery_path=gallery_path)
 
@@ -217,6 +225,7 @@ class FaceRecognitionServer:
         self.total_faces_detected = 0
         self.total_recognition_attempts = 0
         self._lock = threading.Lock()
+        self._io_lock = threading.Lock()
 
         if session_name:
             self._create_session(session_name)
@@ -244,10 +253,13 @@ class FaceRecognitionServer:
                 latency_window_size=100,
             )
 
+        live = self.tracker_mode == "live"
         self.tracker = LiveRecognitionTracker(
             recognition_interval=self.recognition_interval,
             max_attempts=self.max_recognition_attempts,
             buffer_size=self.frame_buffer_size,
+            retry_cooldown=math.inf if live else 10.0,
+            frame_interval_gating=live,
         )
         self.motion_tracker = SimpleTracker(
             max_disappeared=30, max_distance=self.max_tracking_distance
@@ -375,9 +387,24 @@ class FaceRecognitionServer:
         # already ran; this section is cheap dict work.
         with self._lock:
             tracked = self.motion_tracker.update(faces)
-            return self._track_and_recognize(
+            response, io_events, session_dir = self._track_and_recognize(
                 faces, tracked, frame_count, timestamp, timings
             )
+        if io_events:
+            # Serialized against other writers only — not against the
+            # compute path.
+            with self._io_lock:
+                for event_type, rec_result, best in io_events:
+                    rec_result["saved_face_path"] = self._save_face_image(
+                        best,
+                        rec_result["track_id"],
+                        rec_result["student_id"],
+                        rec_result["name"],
+                        rec_result["confidence"],
+                        recognized=event_type == "recognized",
+                    )
+                self._update_attendance(io_events, session_dir)
+        return response
 
     def _track_and_recognize(
         self, faces, tracked, frame_count, timestamp, timings
@@ -420,10 +447,7 @@ class FaceRecognitionServer:
             if recognized:
                 num_recognized += 1
                 self.tracker.mark_recognized(track_id, rec_result)
-                rec_result["saved_face_path"] = self._save_face_image(
-                    best, track_id, sid, name, score, recognized=True
-                )
-                recognition_events.append(("recognized", rec_result))
+                recognition_events.append(("recognized", rec_result, best))
                 print(
                     f"[Frame {frame_count}] Recognized: {name} "
                     f"(track_{track_id:04d}, confidence: {score:.3f})"
@@ -433,15 +457,20 @@ class FaceRecognitionServer:
                 >= self.max_recognition_attempts
             ):
                 num_unknown += 1
-                rec_result["saved_face_path"] = self._save_face_image(
-                    best, track_id, sid, name, score, recognized=False
-                )
-                recognition_events.append(("unrecognized", rec_result))
+                recognition_events.append(("unrecognized", rec_result, best))
 
         if self.perf_monitor:
             self.perf_monitor.mark_recognition_end(timings)
-        if recognition_events:
-            self._update_attendance(recognition_events)
+        # Disk I/O (face PNGs + attendance read-modify-write) happens OUTSIDE
+        # self._lock (in process_full_frame) so other clients' frames don't
+        # queue behind file writes; capture the tracker-derived fields the
+        # writer needs while we still hold the lock.
+        for _, rec_result, _ in recognition_events:
+            tid = rec_result["track_id"]
+            rec_result["_first_seen"] = self.tracker.track_first_seen.get(
+                tid, rec_result["timestamp"]
+            )
+            rec_result["_duration"] = self.tracker.get_track_duration(tid)
 
         self.tracker.cleanup_stale_tracks(
             [tid for tid, _ in tracked], max_age_seconds=30.0
@@ -465,11 +494,13 @@ class FaceRecognitionServer:
                 "confidence": r["confidence"],
                 "timestamp": r["timestamp"],
             }
-            for t, r in recognition_events
+            for t, r, _ in recognition_events
             if t == "recognized"
         }
         newly_failed = [
-            str(r["track_id"]) for t, r in recognition_events if t == "unrecognized"
+            str(r["track_id"])
+            for t, r, _ in recognition_events
+            if t == "unrecognized"
         ]
         return {
             "frame_count": frame_count,
@@ -501,7 +532,7 @@ class FaceRecognitionServer:
             "newly_recognized": newly_recognized,
             "newly_failed": newly_failed,
             "performance": perf_metrics,
-        }
+        }, recognition_events, self.session_dir
 
     def _margin_crop(self, frame_rgb: np.ndarray, bbox: np.ndarray) -> np.ndarray:
         """0.3x margin hi-res crop capped at high_quality_crop_size
@@ -529,7 +560,13 @@ class FaceRecognitionServer:
     ) -> str:
         out_dir = self.recognized_faces_dir if recognized else self.unrecognized_faces_dir
         if recognized:
-            out_dir = os.path.join(out_dir, f"{student_id}_{name.replace(' ', '_')}")
+            # Gallery-sourced strings get the same hardening as client input:
+            # a '/'-bearing id/name (tampered pickle, careless enrollment)
+            # must not escape the session directory.
+            leaf = re.sub(
+                r"[^A-Za-z0-9_.\-]", "_", f"{student_id}_{name.replace(' ', '_')}"
+            ).lstrip(".") or "unknown"
+            out_dir = os.path.join(out_dir, leaf)
             os.makedirs(out_dir, exist_ok=True)
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S_%f")
         aligned_path = os.path.join(
@@ -547,16 +584,16 @@ class FaceRecognitionServer:
             )
         return aligned_path
 
-    def _update_attendance(self, events: List[tuple]) -> None:
-        path = os.path.join(self.session_dir, "attendance.json")
+    def _update_attendance(self, events: List[tuple], session_dir: str) -> None:
+        """Runs under self._io_lock with tracker fields pre-captured
+        (_first_seen/_duration) — never touches live tracker state."""
+        path = os.path.join(session_dir, "attendance.json")
         with open(path) as f:
             attendance = json.load(f)
-        for event_type, result in events:
+        for event_type, result, _best in events:
             track_id = result["track_id"]
-            first_seen = self.tracker.track_first_seen.get(
-                track_id, result["timestamp"]
-            )
-            duration = self.tracker.get_track_duration(track_id)
+            first_seen = result.pop("_first_seen", result["timestamp"])
+            duration = result.pop("_duration", 0.0)
             if event_type == "recognized":
                 existing = next(
                     (s for s in attendance["recognized"]

@@ -7,10 +7,12 @@ Rebuilds the reference's three trackers with identical semantics:
   just for cdist).
 * `FrameAccumulator` — per-track best-N frame collection with the
   0.4*det + 0.3*blur/200 + 0.3*pose quality score (`face_detection.py:123-228`).
-* `LiveRecognitionTracker` — recognition gating with attempt limits and the
-  retry-cooldown reset (`face_recognition_server.py:23-124`; the cooldown
-  variant is the server's, the live app's simpler one is a special case with
-  retry_cooldown=inf).
+* `LiveRecognitionTracker` — recognition gating with attempt limits. Both
+  reference variants are implemented: the server's retry-cooldown gate
+  (`face_recognition_server.py:23-124`, the default) and the live app's
+  every-Nth-frame gate with permanent attempts
+  (`face_recognition_live.py:18-41`; select with frame_interval_gating=True
+  + retry_cooldown=inf — serve/live.py does).
 
 Tracking is stateful, tiny, and branch-heavy — exactly what must stay OUT of
 XLA (SURVEY.md §7 hard-part d); the device pipeline hands these classes
@@ -152,7 +154,11 @@ class FrameAccumulator:
         return det * 0.4 + blur * 0.3 + max(0.0, pose) * 0.3
 
     def add_frame(self, track_id: int, face_dict: Dict, frame_rgb=None) -> bool:
-        """Returns True once the track has its target frame count."""
+        """Returns True once the track has its target frame count.
+
+        frame_rgb is accepted and ignored for reference API parity: the
+        reference accumulator takes the full frame too and never uses it
+        (face_detection.py:154-178) — only aligned crops are buffered."""
         if track_id in self.completed_tracks:
             return True
         quality = self.compute_quality_score(face_dict)
@@ -218,7 +224,15 @@ class LiveRecognitionTracker:
         max_attempts: int = 3,
         buffer_size: int = 10,
         retry_cooldown: float = 10.0,
+        frame_interval_gating: bool = False,
     ):
+        """frame_interval_gating selects between the reference's two tracker
+        variants: False = the SERVER gate (cooldown + buffered-quality;
+        recognition_interval is stored but not consulted, faithful to
+        face_recognition_server.py:39-60, which also ignores it); True = the
+        LIVE gate (attempt only when frame_count % recognition_interval == 0,
+        attempts permanent — pair with retry_cooldown=math.inf — faithful to
+        face_recognition_live.py:30-41)."""
         self.recognized_tracks: Dict[int, Dict] = {}
         self.recognition_attempts: Dict[int, int] = {}
         self.track_frame_buffers: Dict[int, deque] = {}
@@ -231,6 +245,7 @@ class LiveRecognitionTracker:
         self.max_attempts = max_attempts
         self.buffer_size = buffer_size
         self.retry_cooldown = retry_cooldown
+        self.frame_interval_gating = frame_interval_gating
 
     @staticmethod
     def _frame_quality(face: Dict) -> float:
@@ -255,6 +270,17 @@ class LiveRecognitionTracker:
         frame with det_score > 0.6 (face_recognition_server.py:39-60)."""
         if track_id in self.recognized_tracks:
             return False
+        if self.frame_interval_gating:
+            # LIVE variant (face_recognition_live.py:30-41): every Nth frame,
+            # attempts permanent, no cooldown or buffer-quality gate beyond
+            # needing a frame to embed.
+            if self.recognition_attempts.get(track_id, 0) >= self.max_attempts:
+                return False
+            if self.recognition_interval > 1 and (
+                frame_count % self.recognition_interval != 0
+            ):
+                return False
+            return bool(self.track_frame_buffers.get(track_id))
         if self.is_track_in_cooldown(track_id):
             return False
         if self.recognition_attempts.get(track_id, 0) >= self.max_attempts:
@@ -286,8 +312,13 @@ class LiveRecognitionTracker:
     def get_track_duration(self, track_id: int) -> float:
         if track_id not in self.track_first_seen or track_id not in self.track_last_seen:
             return 0.0
-        first = datetime.fromisoformat(self.track_first_seen[track_id])
-        last = datetime.fromisoformat(self.track_last_seen[track_id])
+        try:
+            first = datetime.fromisoformat(self.track_first_seen[track_id])
+            last = datetime.fromisoformat(self.track_last_seen[track_id])
+        except ValueError:
+            # Timestamps are client-supplied strings; a malformed one must
+            # not raise AFTER mark_recognized and lose the attendance entry.
+            return 0.0
         return (last - first).total_seconds()
 
     def is_track_in_cooldown(self, track_id: int) -> bool:

@@ -201,3 +201,22 @@ def test_cosine_topk_masks_padding(rng):
     scores, idx = cosine_topk(t[0][None], t, valid, 3)
     assert int(idx[0, 0]) == 0
     assert float(scores[0, 1]) < -1e8  # masked
+
+
+def test_save_non_pkl_path_keeps_pickle_intact(tmp_path, rng):
+    """A gallery path without '.pkl' must not have its JSON sidecar
+    overwrite the pickle (save() used str.replace('.pkl', ...))."""
+    import pickle
+
+    from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+
+    path = tmp_path / "students.db"
+    g = GalleryManager(gallery_path=str(path), verbose=False)
+    emb = rng.normal(size=(2, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    g.add_student("STU0001", "A Student", emb)
+    g.save()
+    with open(path, "rb") as f:
+        students = pickle.load(f)  # must still BE a pickle
+    assert "STU0001" in students
+    assert (tmp_path / "students.json").exists()

@@ -130,3 +130,37 @@ def test_live_tracker_cleanup_stale():
     assert 1 not in lt.track_frame_buffers
     assert 1 not in lt._last_seen_monotonic
     assert 2 in lt.track_frame_buffers
+
+
+def test_live_frame_interval_gating():
+    """The live-app tracker variant: attempt only every Nth frame, attempts
+    permanent (reference face_recognition_live.py:30-41)."""
+    import math
+
+    from facerecognitionpipeline_tpu.serve.tracker import LiveRecognitionTracker
+
+    t = LiveRecognitionTracker(
+        recognition_interval=30, max_attempts=3,
+        retry_cooldown=math.inf, frame_interval_gating=True,
+    )
+    t.add_frame(1, {"det_score": 0.9, "quality_metrics": {"blur_score": 120}},
+                "2026-08-17T00:00:00")
+    # off-interval frames never attempt, regardless of buffer quality
+    assert not t.should_recognize(1, frame_count=7)
+    assert not t.should_recognize(1, frame_count=31)
+    # on-interval frames do
+    assert t.should_recognize(1, frame_count=30)
+    assert t.should_recognize(1, frame_count=60)
+    # attempts are PERMANENT: after max_attempts, never again (no cooldown reset)
+    for _ in range(3):
+        t.increment_attempts(1)
+    assert not t.should_recognize(1, frame_count=90)
+    assert not t.should_recognize(1, frame_count=120)
+
+
+def test_track_duration_survives_malformed_timestamp():
+    from facerecognitionpipeline_tpu.serve.tracker import LiveRecognitionTracker
+
+    t = LiveRecognitionTracker()
+    t.add_frame(5, {"det_score": 0.9, "quality_metrics": {}}, "16:92:00 bogus")
+    assert t.get_track_duration(5) == 0.0
