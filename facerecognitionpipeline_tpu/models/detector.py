@@ -87,7 +87,8 @@ class MTCNNDetector:
         B=8x256 candidates, measured) and its cost scales with the source
         width; a 24px crop of a >=`2*24`px box samples at >=1 source pixel
         per output sample either way, so factor 2 changes scores only
-        marginally (stress-suite guarded). Set 1 to crop from full
+        marginally (stress-suite guarded; sample positions stay bit-exact
+        for any frame size — only the source is pre-low-passed). Set 1 to crop from full
         resolution (exact round-1 behavior). O-net's 48px crops always use
         the full-resolution frame (final localization + landmarks).
 
@@ -202,18 +203,26 @@ class MTCNNDetector:
         h, w, _ = img.shape
         sq = jnp.clip(_square(boxes), 0, max(h, w))
         d = self.rnet_crop_downscale
-        if d > 1 and h == w:  # crop_resize emits square frames only
+        if d > 1:
             # One shared separable-matmul downsample, then every candidate
             # crops from the small frame: the per-candidate interp
-            # contraction shrinks by d x in the contracted dimension.
+            # contraction shrinks by ~d x in the contracted dimension.
+            # Boxes scale by the TRUE per-axis factors S/w and S/h (the
+            # small frame is an S x S resample of the full w x h frame), so
+            # the half-pixel algebra cancels exactly for ANY frame size —
+            # sample positions match full-res bilinear bit-for-bit; only
+            # the source is pre-low-passed.
+            s = max(h, w) // d
             small = crop_resize(
                 img,
                 jnp.array([[0.0, 0.0, float(w), float(h)]], jnp.float32),
-                max(h, w) // d,
+                s,
                 compute_dtype=self._crop_dtype,
             )[0]
+            sx, sy = s / float(w), s / float(h)
+            small_boxes = sq * jnp.array([sx, sy, sx, sy], jnp.float32)
             crops = crop_resize(
-                small, sq / d, 24, compute_dtype=self._crop_dtype
+                small, small_boxes, 24, compute_dtype=self._crop_dtype
             )
         else:
             crops = crop_resize(img, sq, 24, compute_dtype=self._crop_dtype)

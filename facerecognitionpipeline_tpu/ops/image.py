@@ -85,7 +85,9 @@ def i420_to_rgb(yuv: jax.Array, height: int, width: int) -> jax.Array:
     tunnel (and any bandwidth-constrained PCIe/ICI link) halving H2D bytes
     raises the serving ceiling, and chroma upsample + the BT.601 matrix are
     a few fused VPU ops on device. Matches cv2.COLOR_YUV2RGB_I420 (nearest
-    chroma upsample, full-range BT.601) within quantization error.
+    chroma upsample, STUDIO-SWING/video-range BT.601: Y in [16,235],
+    chroma in [16,240]) within quantization error — do NOT feed full-range
+    (JPEG-convention) YUV here.
     """
     h, w = height, width
     # w must be even for 4:2:0 chroma; h must be a multiple of FOUR: the

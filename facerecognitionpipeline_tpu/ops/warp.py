@@ -421,7 +421,7 @@ def warp_affine_single_matmul(
     matrices: [F, 2, 3] FORWARD maps (src -> dst, cv2 convention).
     Returns [F, out_h, out_w, C] float32.
     """
-    h, w, c = image.shape
+    c = image.shape[-1]
     f = matrices.shape[0]
     k = patch_size
 

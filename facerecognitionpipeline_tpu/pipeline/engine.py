@@ -57,9 +57,10 @@ class RecognitionEngine:
         two-stage warp, no gathers; see ops/warp.warp_affine_single_matmul)
         or 'gather' (the exact-bilinear gather formulation; ~3x slower on
         TPU, kept as the semantic reference). 'auto' (default) picks
-        'pallas' on single-device accelerator backends and 'matmul' under a
-        mesh (the SPMD partitioner can't split a pallas_call) or on CPU
-        (where interpret-mode Pallas is slower than XLA). align_patch tunes
+        'pallas' on a single-device TPU backend and 'matmul' everywhere
+        else — under a mesh (the SPMD partitioner can't split a
+        pallas_call), on CPU (interpret-mode Pallas is slower than XLA),
+        and on GPU (Mosaic targets TPU only). align_patch tunes
         the stage-A window: faces whose source extent fits it are bit-exact
         bilinear; larger faces get an antialiased two-stage resample;
         align_chunk applies to the 'matmul' path only.
@@ -88,6 +89,12 @@ class RecognitionEngine:
             raise ValueError(
                 "align_impl='pallas' cannot run under a mesh (the SPMD "
                 "partitioner can't split a pallas_call); use 'matmul'"
+            )
+        if align_impl == "pallas" and jax.default_backend() not in ("tpu", "cpu"):
+            raise ValueError(
+                f"align_impl='pallas' needs a TPU backend (or CPU, where it "
+                f"runs in interpret mode); this process is on "
+                f"{jax.default_backend()!r} — use 'matmul'"
             )
         self.align_impl = align_impl
         self.align_patch = align_patch
@@ -207,7 +214,9 @@ class RecognitionEngine:
         gallery_valid: jax.Array,
         gallery_k: Optional[int] = None,
     ) -> dict:
-        """Host entry: [B,H,W,3] uint8 (det_size) -> device result dict."""
+        """Host entry -> device result dict. Expected frame shape depends on
+        the engine's input_format: [B,H,W,3] uint8 for 'rgb', [B,H*3//2,W]
+        uint8 planar YUV for 'i420' (see `host_frame_shape`)."""
         # Cold compiles through a remote tunnel can take minutes; say so
         # instead of looking like a stalled request. Keyed on every jit
         # cache axis that varies in practice (frame shape, gallery padding,

@@ -131,3 +131,61 @@ def test_torch_statedict_import(rng):
     assert prob.shape == (2,) and reg.shape == (2, 4)
     prob, reg, lmk = ONet().apply(variables["onet"], x48)
     assert prob.shape == (2,) and lmk.shape == (2, 5, 2)
+
+
+def test_rnet_downscaled_crops_exact_on_nondivisible_size(rng):
+    """Half-res R-net crop positions must stay exact when the downscale
+    factor does NOT divide the frame size (regression: boxes were scaled by
+    1/d instead of the true small-frame factor S/h, drifting ~1 px at the
+    edges of a 321px frame). On a linear ramp, bilinear downsampling is
+    value-preserving, so crops from the half-res source must match full-res
+    crops almost exactly if and only if the coordinates are right."""
+    import jax.numpy as jnp
+
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+
+    h = w = 321  # 321 // 2 = 160, true scale 2.00625 != 2
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([xx / w, yy / h, (xx + yy) / (h + w)], axis=-1) * 2 - 1
+
+    boxes = np.array(
+        [
+            [10.0, 12.0, 90.0, 92.0],
+            [200.0, 180.0, 310.0, 290.0],  # near the far edge: max drift
+            [100.0, 5.0, 220.0, 125.0],
+        ],
+        np.float32,
+    )
+    det = MTCNNDetector(det_size=(h, w), max_faces=4, min_face_size=40)
+
+    def crops_with(dscale):
+        det.rnet_crop_downscale = dscale
+        scores = jnp.zeros(len(boxes))
+        valid = jnp.ones(len(boxes), bool)
+        # _stage2 crops first; grab them by calling crop path pieces directly
+        import jax
+
+        def run(img_j, bx):
+            from facerecognitionpipeline_tpu.models.detector import _square
+            from facerecognitionpipeline_tpu.ops.warp import crop_resize
+
+            sq = jnp.clip(_square(bx), 0, max(h, w))
+            if dscale > 1:
+                s = max(h, w) // dscale
+                small = crop_resize(
+                    img_j,
+                    jnp.array([[0.0, 0.0, float(w), float(h)]], jnp.float32),
+                    s,
+                )[0]
+                sx, sy = s / float(w), s / float(h)
+                return crop_resize(
+                    small, sq * jnp.array([sx, sy, sx, sy], jnp.float32), 24
+                )
+            return crop_resize(img_j, sq, 24)
+
+        return np.asarray(jax.jit(run)(jnp.asarray(img), jnp.asarray(boxes)))
+
+    full = crops_with(1)
+    half = crops_with(2)
+    # exact coordinates + ramp source -> near-exact values (f32 rounding only)
+    assert np.abs(full - half).max() < 5e-3
