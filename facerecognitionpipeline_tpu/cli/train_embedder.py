@@ -146,7 +146,8 @@ def main(argv=None) -> int:
     if args.export_path:
         export_backbone(state, args.export_path)
         print(f"Exported backbone -> {args.export_path}")
-    print(f"Training done at step {final_step}; final loss {losses[-1]:.4f}")
+    last = f"{losses[-1]:.4f}" if losses else "n/a (no steps ran)"
+    print(f"Training done at step {final_step}; final loss {last}")
     return 0
 
 

@@ -77,22 +77,58 @@ def folder_batches(
     prefetch: int = 4,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yields (images [B,112,112,3] f32, labels [B] i32) forever (or for
-    `epochs`). Decode happens in worker threads; batches are prefetched."""
+    `epochs`). Decode happens in worker threads; batches are prefetched.
+    Raises ValueError EAGERLY (at call time, not first next()) when no full
+    batch can ever be formed."""
+    if len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} images < batch_size {batch_size}; "
+            f"no full batch can ever be formed"
+        )
+    return _folder_batches_iter(
+        dataset, batch_size, seed, epochs, augment_flip, num_workers, prefetch
+    )
+
+
+def _folder_batches_iter(
+    dataset, batch_size, seed, epochs, augment_flip, num_workers, prefetch
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     rng = np.random.default_rng(seed)
     out_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        # A plain put() on a full queue blocks forever even after the
+        # consumer abandons the generator (stop.set() can't unblock it) —
+        # poll so the producer thread can actually exit.
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
 
     def producer():
         epoch = 0
         while not stop.is_set() and (epochs is None or epoch < epochs):
             order = rng.permutation(len(dataset))
+            produced = 0
             for start in range(0, len(order) - batch_size + 1, batch_size):
                 if stop.is_set():
                     return
                 idx = order[start : start + batch_size]
+                # cv2 decode releases the GIL, so the pool gives real
+                # parallel JPEG/PNG decode on multi-core hosts
+                decoded = list(
+                    pool.map(lambda i: _load_normalized(dataset.paths[i]), idx)
+                )
                 imgs, labels = [], []
-                for i in idx:
-                    img = _load_normalized(dataset.paths[i])
+                for i, img in zip(idx, decoded):
                     if img is None:
                         continue
                     if augment_flip and rng.random() < 0.5:
@@ -105,11 +141,17 @@ def folder_batches(
                         imgs.append(imgs[len(imgs) % max(1, len(imgs) - 1)])
                         labels.append(labels[len(labels) % max(1, len(labels) - 1)])
                 if imgs:
-                    out_q.put(
+                    if not put_or_stop(
                         (np.stack(imgs), np.asarray(labels, np.int32))
-                    )
+                    ):
+                        return
+                    produced += 1
+            if produced == 0:
+                # every image failed to decode: end the stream with a clear
+                # signal instead of spinning on permutations forever
+                break
             epoch += 1
-        out_q.put(None)
+        put_or_stop(None)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -121,6 +163,7 @@ def folder_batches(
             yield item
     finally:
         stop.set()
+        pool.shutdown(wait=False)
 
 
 def synthetic_batches(

@@ -333,8 +333,15 @@ def _loss_fn(apply_fn, params, batch, with_landmarks: bool,
         # online hard example mining: keep only the hardest fraction of the
         # classified samples (standard MTCNN recipe)
         masked_ce = jnp.where(cls_mask, ce, -1.0)
-        k = max(1, int(ce.shape[0] * ohem_fraction))
-        thresh = jnp.sort(masked_ce)[-k]
+        # k counts only CLASSIFIED samples (label >= 0): part samples
+        # (label -1) sit at -1 in masked_ce, and a k computed from the full
+        # batch would land the threshold in that sentinel region whenever
+        # parts exceed (1 - fraction) of the batch, silently disabling the
+        # mining.
+        n_cls = jnp.sum(cls_mask)
+        k = jnp.maximum(1, jnp.floor(ohem_fraction * n_cls)).astype(jnp.int32)
+        srt = jnp.sort(masked_ce)
+        thresh = jnp.take(srt, srt.shape[0] - k)
         cls_mask = cls_mask & (masked_ce >= thresh)
     cls_loss = jnp.sum(ce * cls_mask) / jnp.maximum(jnp.sum(cls_mask), 1)
 

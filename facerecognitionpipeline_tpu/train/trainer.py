@@ -83,8 +83,12 @@ class Trainer:
             return optax.cosine_decay_schedule(cfg.learning_rate, cfg.total_steps)
         if cfg.lr_schedule == "step":
             # AdaFace recipe: x0.1 at epochs 12/16/18 of 20, scaled to the run
+            # join_schedules feeds the post-warmup schedule (step -
+            # warmup_steps), so shift the absolute-run milestones left by
+            # the warmup or the decays would fire warmup_steps late.
             milestones = {
-                int(cfg.total_steps * f): 0.1 for f in (0.6, 0.8, 0.9)
+                max(1, int(cfg.total_steps * f) - cfg.warmup_steps): 0.1
+                for f in (0.6, 0.8, 0.9)
             }
             base = optax.piecewise_constant_schedule(cfg.learning_rate, milestones)
             if cfg.warmup_steps > 0:
@@ -211,14 +215,34 @@ class Trainer:
                 "batch_stats": mutated["batch_stats"],
                 "norm_mean": jax.lax.pmean(batch_norm_mean, "data"),
                 "norm_std": jax.lax.pmean(batch_norm_std, "data"),
+                # true top-1 over the FULL (sharded) class axis: the
+                # target's pre-margin cosine must be the global argmax
+                # (pmax has no VJP — metric only, so stop-grad the operand)
                 "accuracy": jax.lax.pmean(
-                    jnp.mean((cos_t > 0.0).astype(jnp.float32)), "data"
+                    jnp.mean(
+                        (
+                            jax.lax.stop_gradient(cos_t)
+                            >= jax.lax.pmax(
+                                jax.lax.stop_gradient(
+                                    jnp.max(cosine, axis=1)
+                                ),
+                                "model",
+                            )
+                            - 1e-6
+                        ).astype(jnp.float32)
+                    ),
+                    "data",
                 ),
             }
             return loss, aux
 
         def train_step(state, images, labels, rng):
+            # Distinct dropout mask per data shard AND per step — callers
+            # pass one base key for the whole run, so without the step
+            # fold-in the Dropout mask would be identical every iteration
+            # and the masked activations' fc columns would never train.
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            rng = jax.random.fold_in(rng, state["step"])
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"],
                 state["batch_stats"],

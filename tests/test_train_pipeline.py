@@ -123,3 +123,38 @@ def test_train_cli_synthetic_smoke(tmp_path):
     assert rc == 0
     assert os.path.exists(export)
     assert latest_step(str(tmp_path / "ckpt")) == 3
+
+
+def test_folder_batches_rejects_too_small_dataset(tmp_path, rng):
+    """A dataset smaller than the batch size must fail fast, not spin a
+    producer thread forever yielding nothing."""
+    d = tmp_path / "only"
+    d.mkdir()
+    img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+    cv2.imwrite(str(d / "0.png"), img)
+    ds = FolderDataset(str(tmp_path))
+    with pytest.raises(ValueError, match="batch_size"):
+        folder_batches(ds, batch_size=8)
+
+
+def test_folder_batches_abandoned_consumer_stops_producer(tmp_path, rng):
+    """Breaking out of the generator must let the producer thread exit even
+    if it is blocked on a full prefetch queue."""
+    import threading
+    import time
+
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(8):
+            img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
+            cv2.imwrite(str(d / f"{i}.png"), img)
+    ds = FolderDataset(str(tmp_path))
+    before = threading.active_count()
+    it = folder_batches(ds, batch_size=4, epochs=None, prefetch=1)
+    next(it)  # producer now racing to fill the size-1 queue
+    it.close()  # abandon: fires the generator's finally -> stop.set()
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
