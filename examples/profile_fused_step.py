@@ -101,6 +101,18 @@ def main() -> None:
         leaf = jax.tree.leaves(x)[0]
         np.asarray(leaf[(0,) * leaf.ndim])
 
+    # Host<->device fetch round-trip, measured like bench.py (min of 5
+    # drained probes) and subtracted from every chained sample — without
+    # this each stage gains roundtrip/chain ms and the sum-vs-fused
+    # comparison skews by ~n_stages x that.
+    np.asarray(jnp.zeros(()))
+    _rt_probes = []
+    for _ in range(5):
+        _t = time.perf_counter()
+        np.asarray(jnp.zeros(()))
+        _rt_probes.append(time.perf_counter() - _t)
+    roundtrip = min(_rt_probes)
+
     def timed(name: str, fn, *a):
         f = jax.jit(fn)
         sync(f(*a))  # compile
@@ -112,7 +124,9 @@ def main() -> None:
             for _ in range(args.chain):
                 out = f(*a)
             sync(out)
-            per.append((time.perf_counter() - t0) / args.chain)
+            per.append(
+                max(time.perf_counter() - t0 - roundtrip, 1e-9) / args.chain
+            )
         ms = float(np.median(per) * 1000)
         print(f"{name:34s} {ms:8.2f} ms")
         return ms
@@ -161,8 +175,16 @@ def main() -> None:
         "  stage3 (onet)", stage3_only, detector.variables, frames_f32, *s2
     )
 
-    res["align (matmul warp)"] = timed(
-        "align (matmul warp)",
+    # On TPU the fused step uses the Pallas align, so the matmul row is
+    # the ALTERNATIVE implementation (indented = excluded from the sum);
+    # on CPU it IS the engine's align path and belongs in the sum.
+    _align_mm = (
+        "  align (matmul warp, alt)"
+        if jax.default_backend() == "tpu"
+        else "align (matmul warp)"
+    )
+    res[_align_mm] = timed(
+        _align_mm,
         lambda f, l: jax.vmap(
             lambda img, lmk: align_faces_matmul(img, lmk, template, 112)
         )(f, l),
@@ -171,6 +193,9 @@ def main() -> None:
     )
 
     if jax.default_backend() == "tpu":
+        # the engine's actual align path on TPU — counted in the sum; the
+        # matmul row above is the alternative implementation (indented =
+        # excluded from 'sum of stages')
         from facerecognitionpipeline_tpu.ops.warp import align_faces_batch_pallas
 
         res["align (pallas stage-B)"] = timed(

@@ -34,7 +34,7 @@ N_IMPOSTORS = 3
 N_GALLERY = 5
 
 
-def build_corpus(backup_json: str, model_dir: str) -> None:
+def build_corpus(backup_json: str, model_dir: str) -> dict:
     with open(backup_json) as f:
         students = json.load(f)["students"]
 
@@ -80,6 +80,13 @@ def build_corpus(backup_json: str, model_dir: str) -> None:
         pickle.dump(probes, f)
     with open(os.path.join(model_dir, "probe_negative.pkl"), "wb") as f:
         pickle.dump(negatives, f)
+    return {
+        "n_enrolled": len(enrolled_ids),
+        "n_probes": int(sum(len(v["embeddings"]) for v in probes.values())),
+        "n_impostor_embeddings": int(
+            sum(len(v["embeddings"]) for v in negatives.values())
+        ),
+    }
 
 
 def main() -> int:
@@ -99,12 +106,16 @@ def main() -> int:
         return 1
 
     root = args.embeddings_root or os.path.join(args.output_dir, "_corpus")
-    models = []
+    # glob is sorted, so with several timestamped backups per model the
+    # NEWEST wins — dedup instead of evaluating the same corpus twice
+    latest = {}
     for path in backups:
         # adaface_ir_101_backup_20251202_084813.json -> adaface_ir_101
-        model = os.path.basename(path).split("_backup_")[0]
-        build_corpus(path, os.path.join(root, model))
-        models.append(model)
+        latest[os.path.basename(path).split("_backup_")[0]] = path
+    counts = {}
+    for model, path in latest.items():
+        counts[model] = build_corpus(path, os.path.join(root, model))
+    models = sorted(latest)
 
     out = run_complete_evaluation_pipeline(
         models, root, args.output_dir, make_plots=False
@@ -123,9 +134,7 @@ def main() -> int:
             "roc_auc": float(ver["roc_auc"]),
             "eer": float(ver["eer"]),
             "tar_at_far_1pct": float(ver.get("tar_at_far_0.01", float("nan"))),
-            "n_enrolled": 20,
-            "n_probes": 60,
-            "n_impostor_embeddings": 24,
+            **counts[model],
         }
     with open(os.path.join(args.output_dir, "headline.json"), "w") as f:
         json.dump(headline, f, indent=2)

@@ -24,13 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def encode_frame(frame_rgb: np.ndarray, image_format: str = "png") -> str:
-    import cv2
+    """Same bytes the real camera client sends (serve/client.py) — the bench
+    must measure the production payload, not a drifted copy."""
+    from facerecognitionpipeline_tpu.serve.client import _encode_image_base64
 
-    ext = ".jpg" if image_format == "jpeg" else ".png"
-    args = [cv2.IMWRITE_JPEG_QUALITY, 92] if image_format == "jpeg" else []
-    ok, buf = cv2.imencode(ext, cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2BGR), args)
-    assert ok
-    return base64.b64encode(buf.tobytes()).decode()
+    return _encode_image_base64(frame_rgb, image_format=image_format)
 
 
 def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:

@@ -89,7 +89,9 @@ def get_embedder(identities, processor=None) -> FaceEmbedder:
           f"({EMBEDDER_STEPS} steps, ~6 min)...")
     pool = build_aligned_pool(identities, processor) if processor else None
     rng = np.random.default_rng(0)
-    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    from facerecognitionpipeline_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     cfg = TrainConfig(
         architecture="ir_micro", num_classes=len(identities), loss="adaface",
         learning_rate=0.05, dtype=jnp.bfloat16,

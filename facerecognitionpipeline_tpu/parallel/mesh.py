@@ -21,13 +21,18 @@ def make_mesh(
     if data is None:
         data = len(devices) // model
     use = data * model
+    if use < 1 or use > len(devices):
+        raise ValueError(
+            f"mesh data={data} x model={model} needs {max(use, model)} "
+            f"devices, have {len(devices)}"
+        )
     return Mesh(devices[:use].reshape(data, model), axis_names=("data", "model"))
 
 
 def data_parallel_embed(embedder, mesh: Mesh):
     """Batch-sharded embedding forward: params replicated, faces split on the
     'data' axis, features gathered back. Returns fn(faces_rgb [B,H,W,3]) ->
-    (features [B,512], norms [B,1]); B must divide the data axis."""
+    (features [B,512], norms [B,1]); B must be a MULTIPLE of the 'data' axis size."""
     batch_sharding = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
 
