@@ -218,3 +218,21 @@ def test_batcher_coalesces_concurrent_clients(server, rng):
     for t in threads:
         t.join()
     assert results == [200] * 6
+
+
+def test_transport_mismatch_with_prebuilt_engine_rejected(tmp_path):
+    """A server given a prebuilt rgb engine must reject --transport i420
+    instead of silently serving full-size uploads."""
+    from facerecognitionpipeline_tpu.serve.server import FaceRecognitionServer
+
+    class _RgbEngine:
+        input_format = "rgb"
+        mesh = None
+
+    with pytest.raises(ValueError, match="transport"):
+        FaceRecognitionServer(
+            engine=_RgbEngine(),
+            output_dir=str(tmp_path),
+            transport="i420",
+            warmup=False,
+        )
