@@ -100,24 +100,22 @@ def main() -> None:
     # (chain_wall - roundtrip) / CHAIN, amortizing the sync fetch.
     CHAIN = 5
     SAMPLES = 4
-    per_step = []
-    sync_ok = True
+    walls = []
     for _ in range(SAMPLES):
         t0 = time.perf_counter()
         out = None
         for _ in range(CHAIN):
             out = step()
         sync(out)
-        wall = time.perf_counter() - t0
-        if wall <= roundtrip * 1.05:
-            # the probe exceeded the whole chained window — subtracting
-            # would print absurd throughput; report uncorrected + flagged
-            sync_ok = False
-            per_step.append(wall / CHAIN)
-        else:
-            per_step.append((wall - roundtrip) / CHAIN)
+        walls.append(time.perf_counter() - t0)
 
-    times = np.array(per_step)
+    # Apply ONE correction basis to every sample: if the roundtrip probe
+    # exceeded any chained window (probe caught the tunnel mid-hiccup),
+    # subtracting it would print absurd throughput — report ALL samples
+    # uncorrected and flag the run, rather than mixing bases.
+    sync_ok = all(w > roundtrip * 1.05 for w in walls)
+    correction = roundtrip if sync_ok else 0.0
+    times = np.array([(w - correction) / CHAIN for w in walls])
     faces_per_sec = B * MAX_FACES / times.mean()
     p50_ms = float(np.percentile(times, 50) * 1000)
 

@@ -18,6 +18,7 @@ R-net -> `max_faces` out of O-net.
 from __future__ import annotations
 
 import math
+import os
 import sys
 from typing import List, Optional
 
@@ -59,6 +60,25 @@ def _apply_reg(boxes: jax.Array, reg: jax.Array) -> jax.Array:
     h = (boxes[:, 3] - boxes[:, 1])[:, None]
     scale = jnp.concatenate([w, h, w, h], axis=1)
     return boxes + reg * scale
+
+
+#: Default detector weight files, best first, searched relative to the repo
+#: root's pretrained/ directory (same convention as ADAFACE_MODELS).
+_PRETRAINED_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", "pretrained"
+)
+DEFAULT_DETECTOR_WEIGHTS = (
+    os.path.join(_PRETRAINED_DIR, "mtcnn_stress.npz"),
+    os.path.join(_PRETRAINED_DIR, "mtcnn_synthetic.npz"),
+)
+
+
+def discover_default_weights() -> Optional[str]:
+    """First existing default detector weights file, or None."""
+    for path in DEFAULT_DETECTOR_WEIGHTS:
+        if os.path.isfile(path):
+            return path
+    return None
 
 
 class MTCNNDetector:
@@ -108,6 +128,15 @@ class MTCNNDetector:
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)
         self.onet = ONet(dtype=dtype)
+
+        if weights_path is None and variables is None:
+            # Auto-discover shipped default weights (mirrors the embedder's
+            # default-path table, pipeline/embedder.py:36-43; reference SCRFD
+            # works out-of-the-box, face_recognition.py:20-29). Pass
+            # weights_path="random" for explicit random init (training).
+            weights_path = discover_default_weights()
+        if weights_path == "random":
+            weights_path = None
 
         if variables is not None:
             self.variables = variables

@@ -73,12 +73,15 @@ class CameraFaceCapture:
         """Detect every skip_frames-th frame; feed tracker + accumulator."""
         if self.frame_count % self.skip_frames != 0:
             return
-        # return_all=False already keeps only quality-passing faces
-        valid = self.processor.process_numpy(frame_rgb)
-        tracked = self.tracker.update(valid)
+        # All faces feed the tracker (so tracks survive momentary quality
+        # dips and multiple people are tracked at once); is_valid gates only
+        # at the accumulator — reference face_detection.py:271-281 semantics.
+        faces = self.processor.process_numpy(frame_rgb, return_all=True)
+        tracked = self.tracker.update(faces)
         self._last_tracked = tracked
         for track_id, face in tracked:
-            self.accumulator.add_frame(track_id, face, frame_rgb)
+            if face.get("is_valid", True):
+                self.accumulator.add_frame(track_id, face, frame_rgb)
 
     def _draw(self, frame_rgb: np.ndarray) -> np.ndarray:
         import cv2

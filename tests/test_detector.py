@@ -189,3 +189,20 @@ def test_rnet_downscaled_crops_exact_on_nondivisible_size(rng):
     half = crops_with(2)
     # exact coordinates + ramp source -> near-exact values (f32 rounding only)
     assert np.abs(full - half).max() < 5e-3
+
+
+def test_default_weight_autodiscovery():
+    """No-arg construction finds the shipped pretrained weights; "random"
+    opts out explicitly (used by the trainer)."""
+    from facerecognitionpipeline_tpu.models.detector import discover_default_weights
+
+    path = discover_default_weights()
+    assert path is not None and path.endswith(".npz")
+
+    det = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
+    assert det.pretrained
+
+    det_rand = MTCNNDetector(
+        det_size=(160, 160), max_faces=4, min_face_size=40, weights_path="random"
+    )
+    assert not det_rand.pretrained
