@@ -61,6 +61,20 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha * x)
 
 
+class Affine(nn.Module):
+    """Per-channel scale+shift: an inference-mode BatchNorm collapsed to its
+    affine form (y = x * scale + shift). Used by the folded backbone for the
+    one BN per residual unit that precedes a conv (pre-conv BNs cannot be
+    folded into the conv exactly because of zero padding at the borders)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        shift = self.param("shift", nn.initializers.zeros, (c,), jnp.float32)
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
 class SEModule(nn.Module):
     """Squeeze-and-excitation: GAP → 1x1 conv (C→C/r) → ReLU → 1x1 conv → sigmoid."""
 
@@ -88,6 +102,7 @@ class BasicBlockIR(nn.Module):
     stride: int
     use_se: bool
     conv_shortcut: bool = False
+    folded: bool = False  # inference-only: post-conv BNs folded into convs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,6 +115,7 @@ class BasicBlockIR(nn.Module):
             dtype=self.dtype,
             name=name,
         )
+        conv_bias = self.folded  # folded convs carry the BN shift as a bias
 
         identity_ok = in_ch == self.depth and not (
             self.conv_shortcut and self.stride != 1
@@ -109,19 +125,23 @@ class BasicBlockIR(nn.Module):
             shortcut = x[:, :: self.stride, :: self.stride, :]
         else:
             shortcut = nn.Conv(
-                self.depth, (1, 1), strides=self.stride, use_bias=False,
+                self.depth, (1, 1), strides=self.stride, use_bias=conv_bias,
                 dtype=self.dtype, name="shortcut_conv",
             )(x)
-            shortcut = bn("shortcut_bn")(shortcut)
+            if not self.folded:
+                shortcut = bn("shortcut_bn")(shortcut)
 
-        r = bn("res_bn1")(x)
-        r = nn.Conv(self.depth, (3, 3), padding=1, use_bias=False,
+        # res_bn1 precedes its conv, so it survives folding as a bare affine.
+        r = Affine(name="res_affine")(x) if self.folded else bn("res_bn1")(x)
+        r = nn.Conv(self.depth, (3, 3), padding=1, use_bias=conv_bias,
                     dtype=self.dtype, name="res_conv1")(r)
-        r = bn("res_bn2")(r)
+        if not self.folded:
+            r = bn("res_bn2")(r)
         r = PReLU(name="res_prelu")(r)
         r = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, dtype=self.dtype, name="res_conv2")(r)
-        r = bn("res_bn3")(r)
+                    use_bias=conv_bias, dtype=self.dtype, name="res_conv2")(r)
+        if not self.folded:
+            r = bn("res_bn3")(r)
         if self.use_se:
             r = SEModule(dtype=self.dtype, name="se")(r)
         return r + shortcut
@@ -133,6 +153,7 @@ class IRBackbone(nn.Module):
     units: Sequence[int]
     use_se: bool = False
     conv_shortcut: bool = False
+    folded: bool = False  # inference-only: BNs folded into convs/fc (see fold.py)
     embedding_dim: int = 512
     input_size: int = 112
     dtype: Any = jnp.float32  # compute dtype; params stay float32
@@ -140,14 +161,20 @@ class IRBackbone(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, jax.Array]:
         """x: [B, input_size, input_size, 3] normalized BGR in [-1, 1], NHWC."""
+        if self.folded and train:
+            raise ValueError(
+                "folded=True is an inference-only structure (BN statistics are "
+                "baked into conv weights); train with folded=False."
+            )
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+        x = nn.Conv(64, (3, 3), padding=1, use_bias=self.folded, dtype=self.dtype,
                     name="input_conv")(x)
-        x = bn("input_bn")(x)
+        if not self.folded:
+            x = bn("input_bn")(x)
         x = PReLU(name="input_prelu")(x)
 
         for stage, (n_units, depth) in enumerate(zip(self.units, _STAGE_CHANNELS)):
@@ -157,22 +184,28 @@ class IRBackbone(nn.Module):
                     stride=2 if unit == 0 else 1,
                     use_se=self.use_se,
                     conv_shortcut=self.conv_shortcut,
+                    folded=self.folded,
                     dtype=self.dtype,
                     name=f"stage{stage}_unit{unit}",
                 )(x, train=train)
 
-        x = bn("output_bn")(x)
+        if not self.folded:
+            x = bn("output_bn")(x)
         x = nn.Dropout(0.4, deterministic=not train, name="output_dropout")(x)
         b = x.shape[0]
         # torch Flatten on NCHW gives channel-major ordering; transpose so an
         # imported torch Linear weight matrix lines up element-for-element.
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
+        # When folded, output_bn (pre-fc channel affine) and output_feature_bn
+        # (post-fc whitening) are both baked into this one Dense.
         x = nn.Dense(self.embedding_dim, dtype=self.dtype, name="output_fc")(x)
-        # Final BatchNorm1d(affine=False): running stats only.
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_bias=False, use_scale=False, dtype=self.dtype, name="output_feature_bn",
-        )(x)
+        if not self.folded:
+            # Final BatchNorm1d(affine=False): running stats only.
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                use_bias=False, use_scale=False, dtype=self.dtype,
+                name="output_feature_bn",
+            )(x)
 
         x = x.astype(jnp.float32)
         norm = jnp.linalg.norm(x, axis=1, keepdims=True)
@@ -180,8 +213,13 @@ class IRBackbone(nn.Module):
         return feature, norm
 
 
-def build_backbone(architecture: str, dtype=jnp.float32) -> IRBackbone:
-    """Factory mirroring the zoo's `net.build_model(arch)` naming."""
+def build_backbone(
+    architecture: str, dtype=jnp.float32, folded: bool = False
+) -> IRBackbone:
+    """Factory mirroring the zoo's `net.build_model(arch)` naming.
+
+    `folded=True` builds the inference-only structure whose variables come
+    from `fold.fold_inference_variables` (BNs baked into convs/fc)."""
     if architecture not in BACKBONE_CONFIGS:
         raise ValueError(
             f"Unknown architecture: {architecture}. "
@@ -192,5 +230,6 @@ def build_backbone(architecture: str, dtype=jnp.float32) -> IRBackbone:
         units=cfg["units"],
         use_se=cfg["use_se"],
         conv_shortcut=cfg.get("conv_shortcut", False),
+        folded=folded,
         dtype=dtype,
     )

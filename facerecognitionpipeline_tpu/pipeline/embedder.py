@@ -65,6 +65,7 @@ class FaceEmbedder:
         dtype=jnp.float32,
         variables: Optional[dict] = None,
         init_seed: int = 0,
+        fold_bn: bool = True,
     ):
         if model_type not in ("adaface", "arcface"):
             raise ValueError(
@@ -114,6 +115,21 @@ class FaceEmbedder:
                     jnp.zeros((1, 112, 112, 3), jnp.float32),
                 )
                 self.pretrained = False
+
+        # Inference-mode BN folding: bake BN statistics into conv/fc weights
+        # (exact — see models/fold.py) so the hot embed stage skips the BN
+        # element-wise passes entirely. Variables passed in without
+        # batch_stats are assumed pre-folded.
+        self.folded = False
+        if fold_bn:
+            from facerecognitionpipeline_tpu.models.fold import (
+                fold_inference_variables,
+            )
+
+            if "batch_stats" in self.variables:
+                self.variables = fold_inference_variables(self.variables)
+            self.model = build_backbone(build_arch, dtype=dtype, folded=True)
+            self.folded = True
 
         self._forward = jax.jit(self._forward_impl)
 
