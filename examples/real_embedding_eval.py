@@ -127,11 +127,12 @@ def main() -> int:
         basic = res["basic_probe"]["fewshot_base"]["mean"]
         ver = res["verification"]["fewshot_base"]["mean"]
         df = basic["threshold_results"]
+        auc = ver["roc_auc"]  # None when undefined (single-class), never 0.0
         headline[model] = {
             "rank1_accuracy": float(df["rank1_accuracy"].iloc[0]),
             "mrr": float(df["mrr"].iloc[0]),
             "dprime": float(basic["dprime"]),
-            "roc_auc": float(ver["roc_auc"]),
+            "roc_auc": None if auc is None else float(auc),
             "eer": float(ver["eer"]),
             "tar_at_far_1pct": float(ver.get("tar_at_far_0.01", float("nan"))),
             **counts[model],
@@ -139,6 +140,47 @@ def main() -> int:
     with open(os.path.join(args.output_dir, "headline.json"), "w") as f:
         json.dump(headline, f, indent=2)
     print(json.dumps(headline, indent=2))
+
+    # ---- hard variants: metrics on a slope (VERDICT r2 "de-saturate") ----
+    from facerecognitionpipeline_tpu.evalharness.hardening import (
+        cross_model_impostors,
+        noise_sweep,
+        subsampled_gallery,
+    )
+    from facerecognitionpipeline_tpu.evalharness.pipeline import (
+        DEFAULT_THRESHOLDS,
+        load_model_corpus,
+    )
+
+    def load_corpus(model):
+        c = load_model_corpus(os.path.join(root, model))
+        return (
+            c["galleries"]["fewshot_base"],
+            c["probe_positive"],
+            c["probe_negative"],
+        )
+
+    hard = {}
+    for model in models:
+        gal, pos, neg = load_corpus(model)
+        other = models[(models.index(model) + 1) % len(models)]
+        _, other_pos, _ = load_corpus(other)
+        hard[model] = {
+            "noise_sweep": noise_sweep(gal, pos, neg, DEFAULT_THRESHOLDS),
+            "subsampled_gallery_10": subsampled_gallery(
+                gal, pos, neg, DEFAULT_THRESHOLDS, n_enrolled=10
+            ),
+            "cross_model_impostors": {
+                "impostor_model": other,
+                **cross_model_impostors(gal, pos, other_pos, DEFAULT_THRESHOLDS, neg),
+            },
+        }
+    with open(os.path.join(args.output_dir, "hard_variants.json"), "w") as f:
+        json.dump(hard, f, indent=2)
+    for model, h in hard.items():
+        sweep = h["noise_sweep"]
+        print(f"{model}: noise sweep rank-1 "
+              + " ".join(f"s={r['sigma']:.1f}:{r['rank1_accuracy']:.3f}" for r in sweep))
     return 0
 
 

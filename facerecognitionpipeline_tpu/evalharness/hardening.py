@@ -1,0 +1,144 @@
+"""Hard evaluation variants that put saturated metrics back on a slope.
+
+Enrollment-session embeddings of the same person are trivially separable, so
+the base protocol (reference `temp.py:968-1141`) sits at 0 errors across
+every split — no regression sensitivity. The three variants here degrade the
+protocol in controlled, seeded ways until every headline metric is strictly
+between floor and ceiling:
+
+* `noise_sweep` — probes perturbed with Gaussian noise of increasing sigma
+  (renormalized): rank-1/EER/AUC as a function of sigma; a numeric
+  regression in the scoring stack shifts the whole curve.
+* `subsampled_gallery` — enroll only `n_enrolled` of the identities; the
+  rest become REAL open-set impostors (much harder than the 3 held-out
+  students in the base protocol).
+* `cross_model_impostors` — impostor probes drawn from a DIFFERENT model's
+  embedding space; rejection must hold across spaces.
+
+All functions consume/produce the same corpus dicts as the main pipeline
+(`{name: {"embeddings": [N,512]}}`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from facerecognitionpipeline_tpu.evalharness.identification import (
+    evaluate_probes_comprehensive,
+)
+from facerecognitionpipeline_tpu.evalharness.verification import (
+    evaluate_verification_comprehensive,
+)
+
+DEFAULT_SIGMAS = (0.0, 1.0, 2.0, 4.0, 6.0, 8.0)
+
+
+def perturb_corpus(corpus: Dict[str, Dict], sigma: float, seed: int = 0) -> Dict:
+    """Perturb every embedding with an isotropic noise vector whose NORM is
+    `sigma * ||embedding||`, then renormalize.
+
+    Sigma is a noise-to-signal ratio, not a per-component std — with 512-d
+    unit embeddings a per-component sigma of s carries total norm
+    ~sqrt(512)*s and already obliterates the signal at s=0.2. At ratio r the
+    expected residual cosine to the clean embedding is ~1/sqrt(1+r^2):
+    r=0.5 -> 0.89, r=1 -> 0.71, r=1.5 -> 0.55."""
+    if sigma == 0.0:
+        return corpus
+    rng = np.random.default_rng(seed)
+    out = {}
+    for name, data in corpus.items():
+        embs = np.atleast_2d(np.asarray(data["embeddings"], np.float32))
+        noise = rng.normal(size=embs.shape).astype(np.float32)
+        noise *= (
+            sigma
+            * np.linalg.norm(embs, axis=1, keepdims=True)
+            / (np.linalg.norm(noise, axis=1, keepdims=True) + 1e-12)
+        )
+        noisy = embs + noise
+        noisy /= np.linalg.norm(noisy, axis=1, keepdims=True) + 1e-8
+        out[name] = {**data, "embeddings": noisy}
+    return out
+
+
+def _headline(gallery, probes, negatives, thresholds, aggregation="mean") -> Dict:
+    ident = evaluate_probes_comprehensive(
+        gallery, probes, thresholds, aggregation=aggregation
+    )
+    ver = evaluate_verification_comprehensive(
+        gallery, probes, negatives, thresholds, aggregation=aggregation
+    )
+    df = ident["threshold_results"]
+    auc = ver["roc_auc"]
+    return {
+        "rank1_accuracy": float(df["rank1_accuracy"].iloc[0]),
+        "mrr": float(df["mrr"].iloc[0]),
+        "dprime": float(ver["dprime"]),
+        "roc_auc": None if auc is None else float(auc),
+        "eer": float(ver["eer"]),
+        "tar_at_far_1pct": float(ver["tar_at_far_0.01"]),
+        "genuine_mean": float(ver["genuine_mean"]),
+        "impostor_mean": float(ver["impostor_mean"]),
+    }
+
+
+def noise_sweep(
+    gallery: Dict,
+    probes: Dict,
+    negatives: Dict,
+    thresholds: List[float],
+    sigmas: Sequence[float] = DEFAULT_SIGMAS,
+    seed: int = 0,
+) -> List[Dict]:
+    """Headline metrics per noise sigma applied to the probe embeddings."""
+    rows = []
+    for i, sigma in enumerate(sigmas):
+        noisy_pos = perturb_corpus(probes, sigma, seed=seed + i)
+        noisy_neg = perturb_corpus(negatives, sigma, seed=seed + 1000 + i)
+        rows.append(
+            {"sigma": float(sigma), **_headline(gallery, noisy_pos, noisy_neg, thresholds)}
+        )
+    return rows
+
+
+def subsampled_gallery(
+    gallery: Dict,
+    probes: Dict,
+    negatives: Dict,
+    thresholds: List[float],
+    n_enrolled: int,
+    seed: int = 0,
+) -> Dict:
+    """Enroll a random subset; everyone else's probes become impostors."""
+    rng = np.random.default_rng(seed)
+    names = sorted(gallery)
+    keep = set(rng.choice(names, size=min(n_enrolled, len(names)), replace=False))
+    sub_gallery = {n: gallery[n] for n in names if n in keep}
+    sub_probes = {n: d for n, d in probes.items() if n in keep}
+    extra_impostors = {n: d for n, d in probes.items() if n not in keep}
+    sub_negatives = {**negatives, **extra_impostors}
+    return {
+        "n_enrolled": len(sub_gallery),
+        "n_open_set_identities": len(sub_negatives),
+        **_headline(sub_gallery, sub_probes, sub_negatives, thresholds),
+    }
+
+
+def cross_model_impostors(
+    gallery: Dict,
+    probes: Dict,
+    other_model_probes: Dict,
+    thresholds: List[float],
+    negatives: Optional[Dict] = None,
+) -> Dict:
+    """Impostor set = another model's probe embeddings (different space).
+
+    The embeddings describe the SAME people, but in a foreign model's
+    coordinate system — a well-behaved matcher must reject them all."""
+    impostors = {
+        f"xmodel_{name}": data for name, data in other_model_probes.items()
+    }
+    if negatives:
+        impostors.update(negatives)
+    return _headline(gallery, probes, impostors, thresholds)

@@ -12,7 +12,7 @@ definitions (cells 6-7).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,11 +123,29 @@ def bootstrap_confidence_interval(
     )
 
 
-def roc_auc_and_ap(y_true: np.ndarray, y_scores: np.ndarray) -> Tuple[float, float, np.ndarray, np.ndarray]:
-    """ROC-AUC + average precision (sklearn, as the reference uses)."""
+def roc_auc_and_ap(
+    y_true: np.ndarray, y_scores: np.ndarray
+) -> Tuple[Optional[float], Optional[float], np.ndarray, np.ndarray]:
+    """ROC-AUC + average precision (sklearn, as the reference uses).
+
+    With a single class present both metrics are UNDEFINED and reported as
+    None (-> JSON null, 'n/a' in summaries) — never 0.0, which would read
+    as the worst possible score next to a perfect rank-1."""
     from sklearn.metrics import auc, average_precision_score, roc_curve
 
     if len(set(y_true.tolist())) < 2:
-        return 0.0, 0.0, np.array([0.0, 1.0]), np.array([0.0, 1.0])
+        return None, None, np.array([0.0, 1.0]), np.array([0.0, 1.0])
     fpr, tpr, _ = roc_curve(y_true, y_scores)
     return float(auc(fpr, tpr)), float(average_precision_score(y_true, y_scores)), fpr, tpr
+
+
+def fmt_metric(value, spec: str = ".3f") -> str:
+    """Format a possibly-undefined (None/NaN) metric for human-facing text."""
+    if value is None:
+        return "n/a"
+    try:
+        if np.isnan(value):
+            return "n/a"
+    except TypeError:
+        pass
+    return format(value, spec)

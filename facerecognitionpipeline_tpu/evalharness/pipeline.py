@@ -33,6 +33,7 @@ from facerecognitionpipeline_tpu.evalharness.identification import (
     evaluate_probes_comprehensive,
     evaluate_segmented_comprehensive,
 )
+from facerecognitionpipeline_tpu.evalharness.metrics import fmt_metric
 from facerecognitionpipeline_tpu.evalharness.verification import (
     evaluate_verification_comprehensive,
 )
@@ -169,7 +170,7 @@ def export_results(all_model_results: Dict, output_dir: str) -> Dict:
         exec_lines += [
             f"Best identification: {best['Model']} on {best['Gallery']} "
             f"({best['Aggregation']}) — rank-1 {best['Rank-1']:.3f}, "
-            f"ROC-AUC {best['ROC-AUC']:.3f}, d' {best['d-prime']:.2f}",
+            f"ROC-AUC {fmt_metric(best['ROC-AUC'])}, d' {best['d-prime']:.2f}",
         ]
     if not verification.empty:
         bestv = verification.loc[verification["EER"].idxmin()]
@@ -207,7 +208,7 @@ def export_plots(all_model_results: Dict, output_dir: str) -> List[str]:
                 continue
             axes[0].plot(
                 results["fpr"], results["tpr"],
-                label=f"{model_name}/{gallery_name} (AUC {results['roc_auc']:.3f})",
+                label=f"{model_name}/{gallery_name} (AUC {fmt_metric(results['roc_auc'])})",
             )
             df = results["threshold_results"]
             axes[1].plot(df["threshold"], df["tar"],

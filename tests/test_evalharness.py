@@ -117,7 +117,9 @@ def test_identification_on_separable_data(synthetic_corpus):
     )
     df = out["threshold_results"]
     assert df["rank1_accuracy"].iloc[0] == 1.0
-    assert out["roc_auc"] >= 0.0
+    # every prediction is correct -> single-class y_true -> AUC is UNDEFINED
+    # and must surface as None (never 0.0, which reads as the worst score)
+    assert out["roc_auc"] is None
     assert out["dprime"] > 3
     assert len(out["all_predictions"]) == 15
     # low threshold: everything accepted and correct
