@@ -23,12 +23,31 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def encode_frame(frame_rgb: np.ndarray, image_format: str = "png") -> str:
+def encode_frame(frame_rgb: np.ndarray, image_format: str, det: int):
     """Same bytes the real camera client sends (serve/client.py) — the bench
-    must measure the production payload, not a drifted copy."""
+    must measure the production payload, not a drifted copy.
+
+    Returns (path, body, headers): JSON b64 for png/jpeg, octet-stream raw
+    planes for raw/raw-i420 (rawproto contract)."""
+    if image_format in ("raw", "raw-i420"):
+        from facerecognitionpipeline_tpu.serve import rawproto
+
+        canvas, scale = rawproto.letterbox_rgb(frame_rgb, (det, det))
+        if image_format == "raw-i420":
+            body, fmt = rawproto.rgb_to_i420(canvas).tobytes(), "i420"
+        else:
+            body, fmt = np.ascontiguousarray(canvas).tobytes(), "rgb24"
+        headers = {
+            "Content-Type": "application/octet-stream",
+            rawproto.HEADER_FORMAT: fmt,
+            rawproto.HEADER_WIDTH: str(det),
+            rawproto.HEADER_HEIGHT: str(det),
+            rawproto.HEADER_SCALE: repr(scale),
+        }
+        return "/process_frame_raw", body, headers
     from facerecognitionpipeline_tpu.serve.client import _encode_image_base64
 
-    return _encode_image_base64(frame_rgb, image_format=image_format)
+    return "/process_frame", _encode_image_base64(frame_rgb, image_format), None
 
 
 def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
@@ -40,10 +59,20 @@ def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
 
     def worker(ci: int):
         i = 0
+        session = requests.Session()
         while time.perf_counter() < stop:
-            body = {"frame": payloads[(ci + i) % len(payloads)], "frame_count": i}
+            path, body, headers = payloads[(ci + i) % len(payloads)]
             t0 = time.perf_counter()
-            r = requests.post(f"{url}/process_frame", json=body, timeout=120)
+            if headers is None:
+                r = session.post(
+                    f"{url}{path}",
+                    json={"frame": body, "frame_count": i},
+                    timeout=120,
+                )
+            else:
+                r = session.post(
+                    f"{url}{path}", data=body, headers=headers, timeout=120
+                )
             dt = time.perf_counter() - t0
             assert r.status_code == 200, r.text[:200]
             latencies.append(dt)
@@ -74,7 +103,8 @@ def main() -> int:
     p.add_argument("--det", type=int, default=640)
     p.add_argument("--batch_max", type=int, default=8)
     p.add_argument("--architecture", default="ir_101")
-    p.add_argument("--image_format", choices=("png", "jpeg"), default="png")
+    p.add_argument("--image_format",
+                   choices=("png", "jpeg", "raw", "raw-i420"), default="png")
     p.add_argument("--transport", choices=("rgb", "i420"), default="rgb")
     args = p.parse_args()
 
@@ -123,7 +153,7 @@ def main() -> int:
     # 720p synthetic camera frames (same as round-1 measurement protocol)
     payloads = [
         encode_frame(rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8),
-                     args.image_format)
+                     args.image_format, args.det)
         for _ in range(4)
     ]
 

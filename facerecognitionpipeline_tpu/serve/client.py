@@ -72,6 +72,7 @@ class FaceRecognitionClient:
         output_dir: str = "client_sessions",
         auto_snapshot_interval: float = 0.0,
         image_format: str = "png",
+        det_size: tuple = (640, 640),
     ):
         import requests
 
@@ -88,6 +89,7 @@ class FaceRecognitionClient:
         self.display = display
         self.auto_snapshot_interval = auto_snapshot_interval
         self.image_format = image_format
+        self.det_size = det_size  # server canvas; raw transports letterbox here
 
         self.output_dir = os.path.join(output_dir, self.session_name)
         self.perf_monitor = PerformanceMonitorClient(
@@ -131,18 +133,45 @@ class FaceRecognitionClient:
             print(f"init_session error: {e}")
             return False
 
-    def send_frame(self, frame_rgb: np.ndarray, timings: Dict) -> Optional[Dict]:
-        self.perf_monitor.mark_network_start(timings)
-        try:
-            r = self._requests.post(
-                f"{self.server_url}/process_frame",
-                json={
-                    "frame": _encode_image_base64(frame_rgb, self.image_format),
-                    "frame_count": self.frame_count,
-                    "timestamp": datetime.now().isoformat(),
+    def _post_frame(self, frame_rgb: np.ndarray):
+        if self.image_format in ("raw", "raw-i420"):
+            # zero-decode transport: letterbox here, ship raw planes; the
+            # server does a frombuffer+reshape instead of b64+imdecode
+            from facerecognitionpipeline_tpu.serve import rawproto
+
+            canvas, scale = rawproto.letterbox_rgb(frame_rgb, self.det_size)
+            if self.image_format == "raw-i420":
+                payload, fmt = rawproto.rgb_to_i420(canvas).tobytes(), "i420"
+            else:
+                payload, fmt = np.ascontiguousarray(canvas).tobytes(), "rgb24"
+            return self._requests.post(
+                f"{self.server_url}/process_frame_raw",
+                data=payload,
+                headers={
+                    "Content-Type": "application/octet-stream",
+                    rawproto.HEADER_FORMAT: fmt,
+                    rawproto.HEADER_WIDTH: str(self.det_size[1]),
+                    rawproto.HEADER_HEIGHT: str(self.det_size[0]),
+                    rawproto.HEADER_SCALE: repr(scale),
+                    rawproto.HEADER_COUNT: str(self.frame_count),
+                    rawproto.HEADER_TIMESTAMP: datetime.now().isoformat(),
                 },
                 timeout=30,
             )
+        return self._requests.post(
+            f"{self.server_url}/process_frame",
+            json={
+                "frame": _encode_image_base64(frame_rgb, self.image_format),
+                "frame_count": self.frame_count,
+                "timestamp": datetime.now().isoformat(),
+            },
+            timeout=30,
+        )
+
+    def send_frame(self, frame_rgb: np.ndarray, timings: Dict) -> Optional[Dict]:
+        self.perf_monitor.mark_network_start(timings)
+        try:
+            r = self._post_frame(frame_rgb)
             self.perf_monitor.mark_network_end(timings)
             if r.status_code != 200:
                 print(f"process_frame error {r.status_code}: {r.text[:200]}")
@@ -341,9 +370,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_display", action="store_true")
     p.add_argument("--output_dir", type=str, default="client_sessions")
     p.add_argument("--auto_snapshot_interval", type=float, default=0.0)
-    p.add_argument("--image_format", choices=("png", "jpeg"), default="png",
-                   help="frame payload codec; jpeg is ~10x smaller/faster, "
-                        "png matches the reference byte-for-byte")
+    p.add_argument("--image_format",
+                   choices=("png", "jpeg", "raw", "raw-i420"), default="png",
+                   help="frame payload codec; jpeg is ~10x smaller/faster than "
+                        "png (the reference format); raw/raw-i420 ship "
+                        "letterboxed planes with NO codec at all — the server "
+                        "skips base64+imdecode entirely (raw-i420 also halves "
+                        "the bytes on the wire)")
+    p.add_argument("--det_size", type=str, default="640x640",
+                   help="server detection canvas WxH (raw transports "
+                        "letterbox client-side to this size)")
     return p
 
 
@@ -361,6 +397,7 @@ def main(argv=None) -> int:
         output_dir=args.output_dir,
         auto_snapshot_interval=args.auto_snapshot_interval,
         image_format=args.image_format,
+        det_size=tuple(int(v) for v in reversed(args.det_size.split("x"))),
     )
     return client.run()
 

@@ -22,7 +22,10 @@ TPU-native core, and deliberate fixes over the reference:
   (update call commented out at face_recognition_server.py:792), so every
   face got a fresh track id; we use a real centroid tracker;
 * stale-track cleanup exists on the right object
-  (reference bug face_recognition_server.py:355 vs :825).
+  (reference bug face_recognition_server.py:355 vs :825);
+* POST /process_frame_raw accepts raw letterboxed planes as octet-stream
+  (rawproto.py): the per-frame base64+imdecode host cost — the measured
+  multi-client ceiling — drops to a frombuffer+reshape.
 """
 
 from __future__ import annotations
@@ -322,28 +325,111 @@ class FaceRecognitionServer:
     # ------------------------------------------------------------ frame path
 
     def _letterbox(self, frame_rgb: np.ndarray) -> tuple[np.ndarray, float]:
-        import cv2
+        from facerecognitionpipeline_tpu.serve.rawproto import letterbox_rgb
 
-        dh, dw = self.det_size
-        ih, iw = frame_rgb.shape[:2]
-        scale = min(dw / iw, dh / ih)
-        nw, nh = int(round(iw * scale)), int(round(ih * scale))
-        canvas = np.zeros((dh, dw, 3), np.uint8)
-        canvas[:nh, :nw] = cv2.resize(frame_rgb, (nw, nh))
-        return canvas, scale
+        return letterbox_rgb(frame_rgb, self.det_size)
 
     def process_full_frame(
         self, frame_rgb: np.ndarray, frame_count: int, timestamp: str
     ) -> Dict:
         """Full pipeline for one client frame (server:586-739 equivalent)."""
-        timings = self.perf_monitor.start_request() if self.perf_monitor else None
-        self.frame_count = frame_count
-
         canvas, scale = self._letterbox(frame_rgb)
         if self.transport == "i420":
             from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
 
             canvas = rgb_to_i420_host(canvas)
+        return self._process_canvas(
+            canvas,
+            scale,
+            crop_frame=lambda: frame_rgb,
+            crop_scale=scale,
+            frame_count=frame_count,
+            timestamp=timestamp,
+        )
+
+    def process_raw_frame(
+        self,
+        buf: bytes,
+        fmt: str,
+        width: int,
+        height: int,
+        scale: float,
+        frame_count: int,
+        timestamp: str,
+    ) -> Dict:
+        """Zero-decode path for `/process_frame_raw` (raw letterboxed planes
+        straight off the wire — see rawproto.py). Face crops are taken from
+        the detection canvas (the client keeps its own full-res original)."""
+        from facerecognitionpipeline_tpu.serve import rawproto
+
+        dh, dw = self.det_size
+        if (height, width) != (dh, dw):
+            raise ValueError(
+                f"raw frame is {width}x{height} but the server detection "
+                f"canvas is {dw}x{dh}; letterbox client-side to det_size"
+            )
+        expected = rawproto.payload_nbytes(fmt, height, width)
+        if len(buf) != expected:
+            raise ValueError(
+                f"raw {fmt} payload must be exactly {expected} bytes "
+                f"for {width}x{height}, got {len(buf)}"
+            )
+        if scale <= 0.0:
+            raise ValueError(f"invalid {rawproto.HEADER_SCALE}: {scale}")
+
+        arr = np.frombuffer(buf, np.uint8)
+        memo: Dict = {}
+        if fmt == "rgb24":
+            rgb = arr.reshape(height, width, 3)
+            if self.transport == "i420":
+                from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
+
+                canvas = rgb_to_i420_host(rgb)
+            else:
+                canvas = rgb
+            crop_frame = lambda: rgb  # noqa: E731
+        else:  # i420
+            yuv = arr.reshape(height * 3 // 2, width)
+            canvas = yuv if self.transport == "i420" else rawproto.i420_to_rgb(yuv)
+
+            def crop_frame():
+                # convert at most once per frame, and only when a valid face
+                # actually needs a crop — the hot path stays zero-decode
+                if "rgb" not in memo:
+                    memo["rgb"] = (
+                        canvas
+                        if self.transport != "i420"
+                        else rawproto.i420_to_rgb(yuv)
+                    )
+                return memo["rgb"]
+
+        return self._process_canvas(
+            canvas,
+            scale,
+            crop_frame=crop_frame,
+            crop_scale=1.0,
+            frame_count=frame_count,
+            timestamp=timestamp,
+        )
+
+    def _process_canvas(
+        self,
+        canvas: np.ndarray,
+        scale: float,
+        crop_frame,
+        crop_scale: float,
+        frame_count: int,
+        timestamp: str,
+    ) -> Dict:
+        """Device dispatch + tracking for one prepared detection canvas.
+
+        `crop_frame()` lazily yields the RGB image crops are cut from;
+        `crop_scale` maps canvas-space bboxes into that image's coordinates
+        (the letterbox scale for full-resolution client frames, 1.0 when
+        cropping from the canvas itself)."""
+        timings = self.perf_monitor.start_request() if self.perf_monitor else None
+        self.frame_count = frame_count
+
         # device work is batched across threads; everything after the result
         # returns is host-side and fast
         result = self.batcher.submit(canvas).result(timeout=600)
@@ -358,7 +444,8 @@ class FaceRecognitionServer:
         for i in range(len(result["face_valid"])):
             if not (result["face_valid"][i] and result["quality_ok"][i]):
                 continue
-            bbox = np.asarray(result["bboxes"][i]) / scale
+            canvas_bbox = np.asarray(result["bboxes"][i])
+            bbox = canvas_bbox / scale  # client/original coordinates
             matches = []
             for k in range(result["match_scores"].shape[-1]):
                 idx = int(result["match_idx"][i, k])
@@ -376,7 +463,9 @@ class FaceRecognitionServer:
                         k: float(v[i]) for k, v in result["quality_metrics"].items()
                     },
                     "aligned_face": np.asarray(result["aligned"][i], np.uint8),
-                    "original_crop": self._margin_crop(frame_rgb, bbox),
+                    "original_crop": self._margin_crop(
+                        crop_frame(), canvas_bbox / crop_scale
+                    ),
                     "match": matches,
                     "timestamp": timestamp,
                 }
@@ -724,6 +813,41 @@ def make_handler(server: FaceRecognitionServer):
 
         def do_POST(self):
             try:
+                if self.path == "/process_frame_raw":
+                    # raw octet-stream frames: no JSON, no base64, no
+                    # imdecode — metadata rides in headers (rawproto.py)
+                    from facerecognitionpipeline_tpu.serve import rawproto
+
+                    if server.session_name is None:
+                        self._json(
+                            {"error": "No active session. Call /init_session first"},
+                            400,
+                        )
+                        return
+                    length = int(self.headers.get("Content-Length", 0))
+                    fmt = self.headers.get(rawproto.HEADER_FORMAT, "")
+                    if fmt not in rawproto.RAW_FORMATS:
+                        self._json(
+                            {
+                                "error": f"{rawproto.HEADER_FORMAT} must be one "
+                                f"of {rawproto.RAW_FORMATS}, got {fmt!r}"
+                            },
+                            400,
+                        )
+                        return
+                    result = server.process_raw_frame(
+                        self.rfile.read(length),
+                        fmt,
+                        int(self.headers.get(rawproto.HEADER_WIDTH, 0)),
+                        int(self.headers.get(rawproto.HEADER_HEIGHT, 0)),
+                        float(self.headers.get(rawproto.HEADER_SCALE, 1.0)),
+                        int(self.headers.get(rawproto.HEADER_COUNT, 0)),
+                        self.headers.get(
+                            rawproto.HEADER_TIMESTAMP, datetime.now().isoformat()
+                        ),
+                    )
+                    self._json(result)
+                    return
                 data = self._body()
                 if self.path == "/init_session":
                     name = data.get("session_name")

@@ -236,3 +236,106 @@ def test_transport_mismatch_with_prebuilt_engine_rejected(tmp_path):
             transport="i420",
             warmup=False,
         )
+
+
+def test_raw_transport_rgb24_and_i420(server, rng):
+    """/process_frame_raw: octet-stream planes, no base64/imdecode; bboxes
+    come back in client coordinates via X-Frame-Scale."""
+    from facerecognitionpipeline_tpu.serve import rawproto
+
+    srv, url, tmp_path = server
+    requests.post(f"{url}/init_session", json={"session_name": "raw1"}, timeout=10)
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    canvas, scale = rawproto.letterbox_rgb(frame, (640, 640))
+
+    def headers(fmt):
+        return {
+            "Content-Type": "application/octet-stream",
+            rawproto.HEADER_FORMAT: fmt,
+            rawproto.HEADER_WIDTH: "640",
+            rawproto.HEADER_HEIGHT: "640",
+            rawproto.HEADER_SCALE: repr(scale),
+            rawproto.HEADER_COUNT: "1",
+        }
+
+    r = requests.post(
+        f"{url}/process_frame_raw",
+        data=np.ascontiguousarray(canvas).tobytes(),
+        headers=headers("rgb24"),
+        timeout=30,
+    )
+    assert r.status_code == 200, r.text[:200]
+    body = r.json()
+    assert body["faces_detected"] == 1
+    # fake engine reports canvas bbox [100,100,220,220]; response is /scale
+    np.testing.assert_allclose(
+        body["tracks"][0]["bbox"], np.array([100, 100, 220, 220]) / scale, rtol=1e-6
+    )
+
+    r = requests.post(
+        f"{url}/process_frame_raw",
+        data=rawproto.rgb_to_i420(canvas).tobytes(),
+        headers=headers("i420"),
+        timeout=30,
+    )
+    assert r.status_code == 200, r.text[:200]
+    assert r.json()["faces_detected"] == 1
+
+
+def test_raw_transport_validation(server, rng):
+    from facerecognitionpipeline_tpu.serve import rawproto
+
+    srv, url, tmp_path = server
+    requests.post(f"{url}/init_session", json={"session_name": "raw2"}, timeout=10)
+
+    base = {
+        "Content-Type": "application/octet-stream",
+        rawproto.HEADER_WIDTH: "640",
+        rawproto.HEADER_HEIGHT: "640",
+        rawproto.HEADER_SCALE: "1.0",
+    }
+    # unknown format
+    r = requests.post(f"{url}/process_frame_raw", data=b"x",
+                      headers={**base, rawproto.HEADER_FORMAT: "bgr"}, timeout=10)
+    assert r.status_code == 400
+    # wrong byte count
+    r = requests.post(f"{url}/process_frame_raw", data=b"\0" * 100,
+                      headers={**base, rawproto.HEADER_FORMAT: "rgb24"}, timeout=10)
+    assert r.status_code == 400
+    # wrong canvas dims
+    r = requests.post(
+        f"{url}/process_frame_raw",
+        data=b"\0" * rawproto.payload_nbytes("rgb24", 480, 640),
+        headers={**base, rawproto.HEADER_FORMAT: "rgb24",
+                 rawproto.HEADER_HEIGHT: "480"},
+        timeout=10,
+    )
+    assert r.status_code == 400
+    # bad scale
+    r = requests.post(
+        f"{url}/process_frame_raw",
+        data=b"\0" * rawproto.payload_nbytes("rgb24", 640, 640),
+        headers={**base, rawproto.HEADER_FORMAT: "rgb24",
+                 rawproto.HEADER_SCALE: "0"},
+        timeout=10,
+    )
+    assert r.status_code == 400
+
+
+def test_client_raw_i420_payload(server):
+    """--image_format raw-i420 end-to-end: client letterboxes + converts,
+    server runs zero-decode."""
+    srv, url, tmp_path = server
+    client = FaceRecognitionClient(
+        server_url=url,
+        session_name="raw_run",
+        synthetic=True,
+        frame_skip=2,
+        max_frames=4,
+        display=False,
+        output_dir=str(tmp_path / "client_sessions_raw"),
+        image_format="raw-i420",
+        det_size=(640, 640),
+    )
+    assert client.run() == 0
+    assert client.recognized_tracks
