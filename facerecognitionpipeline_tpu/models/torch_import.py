@@ -34,25 +34,62 @@ def _to_np(v) -> np.ndarray:
     return np.asarray(v, dtype=np.float32)
 
 
-def strip_prefix(statedict: Mapping[str, Any], prefix: str = "model.") -> dict:
-    """Keep `prefix`-scoped entries, dropping the prefix (Lightning convention,
-    mirrors reference face_embedder.py:52). Pass-through if nothing matches."""
-    out = {k[len(prefix):]: v for k, v in statedict.items() if k.startswith(prefix)}
-    return out if out else dict(statedict)
+#: Wrapper scopes the zoo's checkpoints bury weights under, in any stacking
+#: order: Lightning ('model.'), DataParallel/DDP ('module.'),
+#: torch.compile ('_orig_mod.').
+_WRAPPER_PREFIXES = ("model.", "module.", "_orig_mod.")
+
+
+def strip_prefix(
+    statedict: Mapping[str, Any], prefix: str | None = None
+) -> dict:
+    """Unwrap checkpoint scoping prefixes (reference face_embedder.py:52
+    strips only 'model.'; real zoo files also show 'module.model.' DDP
+    stacks and torch.compile '_orig_mod.' scopes — strip ALL of them,
+    per key, in any order). An explicit `prefix` keeps the legacy
+    filter-by-one-prefix behavior."""
+    if prefix is not None:
+        out = {
+            k[len(prefix):]: v for k, v in statedict.items() if k.startswith(prefix)
+        }
+        return out if out else dict(statedict)
+    out = {}
+    for k, v in statedict.items():
+        while k.startswith(_WRAPPER_PREFIXES):
+            for p in _WRAPPER_PREFIXES:
+                if k.startswith(p):
+                    k = k[len(p):]
+                    break
+        out[k] = v
+    return out
+
+
+def _fetch(sd: dict, key: str):
+    try:
+        return sd[key]
+    except KeyError:
+        sample = ", ".join(sorted(sd)[:8])
+        raise KeyError(
+            f"statedict is missing {key!r} — wrong architecture for this "
+            f"checkpoint, or an unrecognized layout (keys start: {sample}...)"
+        ) from None
 
 
 def _conv(sd: dict, key: str) -> np.ndarray:
     # torch OIHW -> flax HWIO
-    return _to_np(sd[key]).transpose(2, 3, 1, 0)
+    w = _to_np(_fetch(sd, key))
+    if w.ndim != 4:
+        raise ValueError(f"{key}: expected a 4-d conv kernel, got shape {w.shape}")
+    return w.transpose(2, 3, 1, 0)
 
 
 def _bn(sd: dict, prefix: str, affine: bool = True) -> tuple[dict, dict]:
     params = {}
     if affine:
-        params = {"scale": _to_np(sd[f"{prefix}.weight"]),
-                  "bias": _to_np(sd[f"{prefix}.bias"])}
-    stats = {"mean": _to_np(sd[f"{prefix}.running_mean"]),
-             "var": _to_np(sd[f"{prefix}.running_var"])}
+        params = {"scale": _to_np(_fetch(sd, f"{prefix}.weight")),
+                  "bias": _to_np(_fetch(sd, f"{prefix}.bias"))}
+    stats = {"mean": _to_np(_fetch(sd, f"{prefix}.running_mean")),
+             "var": _to_np(_fetch(sd, f"{prefix}.running_var"))}
     return params, stats
 
 
@@ -68,7 +105,7 @@ def convert_statedict(statedict: Mapping[str, Any], architecture: str) -> dict:
     params["input_conv"] = {"kernel": _conv(sd, "input_layer.0.weight")}
     p, s = _bn(sd, "input_layer.1")
     params["input_bn"], stats["input_bn"] = p, s
-    params["input_prelu"] = {"alpha": _to_np(sd["input_layer.2.weight"])}
+    params["input_prelu"] = {"alpha": _to_np(_fetch(sd, "input_layer.2.weight"))}
 
     k = 0  # flat torch body index
     in_ch = 64
@@ -88,7 +125,7 @@ def convert_statedict(statedict: Mapping[str, Any], architecture: str) -> dict:
             bp["res_conv1"] = {"kernel": _conv(sd, f"{base}.res_layer.1.weight")}
             p, s = _bn(sd, f"{base}.res_layer.2")
             bp["res_bn2"], bs["res_bn2"] = p, s
-            bp["res_prelu"] = {"alpha": _to_np(sd[f"{base}.res_layer.3.weight"])}
+            bp["res_prelu"] = {"alpha": _to_np(_fetch(sd, f"{base}.res_layer.3.weight"))}
             bp["res_conv2"] = {"kernel": _conv(sd, f"{base}.res_layer.4.weight")}
             p, s = _bn(sd, f"{base}.res_layer.5")
             bp["res_bn3"], bs["res_bn3"] = p, s
@@ -104,8 +141,8 @@ def convert_statedict(statedict: Mapping[str, Any], architecture: str) -> dict:
     p, s = _bn(sd, "output_layer.0")
     params["output_bn"], stats["output_bn"] = p, s
     params["output_fc"] = {
-        "kernel": _to_np(sd["output_layer.3.weight"]).T,
-        "bias": _to_np(sd["output_layer.3.bias"]),
+        "kernel": _to_np(_fetch(sd, "output_layer.3.weight")).T,
+        "bias": _to_np(_fetch(sd, "output_layer.3.bias")),
     }
     _, s = _bn(sd, "output_layer.4", affine=False)
     stats["output_feature_bn"] = s
