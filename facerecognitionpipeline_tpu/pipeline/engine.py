@@ -57,13 +57,14 @@ class RecognitionEngine:
         two-stage warp, no gathers; see ops/warp.warp_affine_single_matmul)
         or 'gather' (the exact-bilinear gather formulation; ~3x slower on
         TPU, kept as the semantic reference). 'auto' (default) picks
-        'pallas' on a single-device TPU backend and 'matmul' everywhere
-        else — under a mesh (the SPMD partitioner can't split a
-        pallas_call), on CPU (interpret-mode Pallas is slower than XLA),
-        and on GPU (Mosaic targets TPU only). align_patch tunes
-        the stage-A window: faces whose source extent fits it are bit-exact
-        bilinear; larger faces get an antialiased two-stage resample;
-        align_chunk applies to the 'matmul' path only.
+        'pallas' on a TPU backend — under a mesh the kernel runs per shard
+        inside a `jax.shard_map` over the 'data' axis (the SPMD partitioner
+        cannot split a bare pallas_call) — and 'matmul' on CPU
+        (interpret-mode Pallas is slower than XLA) and GPU (Mosaic targets
+        TPU only). align_patch tunes the stage-A window: faces whose source
+        extent fits it are bit-exact bilinear; larger faces get an
+        antialiased two-stage resample; align_chunk applies to the 'matmul'
+        path only.
 
         input_format: 'rgb' (frames [B,H,W,3] uint8) or 'i420' (frames
         [B, H*3//2, W] uint8 planar YUV, converted to RGB ON DEVICE —
@@ -78,18 +79,9 @@ class RecognitionEngine:
         self.align_size = align_size
         self.mesh = mesh
         if align_impl == "auto":
-            align_impl = (
-                "pallas"
-                if mesh is None and jax.default_backend() == "tpu"
-                else "matmul"
-            )
+            align_impl = "pallas" if jax.default_backend() == "tpu" else "matmul"
         if align_impl not in ("pallas", "matmul", "gather"):
             raise ValueError(f"unknown align_impl {align_impl!r}")
-        if align_impl == "pallas" and mesh is not None:
-            raise ValueError(
-                "align_impl='pallas' cannot run under a mesh (the SPMD "
-                "partitioner can't split a pallas_call); use 'matmul'"
-            )
         if align_impl == "pallas" and jax.default_backend() not in ("tpu", "cpu"):
             raise ValueError(
                 f"align_impl='pallas' needs a TPU backend (or CPU, where it "
@@ -122,10 +114,25 @@ class RecognitionEngine:
     def _align_batch(self, frames_f32, landmarks):
         """[B,H,W,3] x [B,F,5,2] -> aligned [B,F,out,out,3] (impl dispatch)."""
         if self.align_impl == "pallas":
-            return align_faces_batch_pallas(
-                frames_f32, landmarks, self._template, self.align_size,
+            fn = lambda fr, lm: align_faces_batch_pallas(  # noqa: E731
+                fr, lm, self._template, self.align_size,
                 patch_size=self.align_patch,
             )
+            if self.mesh is not None:
+                # A bare pallas_call can't be split by the SPMD partitioner;
+                # run the kernel per shard over the 'data' axis instead so
+                # DP serving keeps the fast align path.
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.shard_map(
+                    fn,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P("data")),
+                    out_specs=P("data"),
+                    # pallas_call doesn't annotate varying-mesh-axes metadata
+                    check_vma=False,
+                )
+            return fn(frames_f32, landmarks)
         if self.align_impl == "matmul":
             per_frame = lambda img, lmk: align_faces_matmul(
                 img, lmk, self._template, self.align_size,
