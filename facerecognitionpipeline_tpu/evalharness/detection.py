@@ -89,6 +89,88 @@ def _draw_distractor(img, rng, size):
     return [cx - 0.85 * s, cy - 1.1 * s, cx + 0.85 * s, cy + 1.1 * s]
 
 
+def _draw_nonface_distractor(img, rng, size):
+    """NON-face-like distractor: things real scenes contain that must never
+    fire — hands (skin blob + finger strokes), patterned clothing
+    (stripes/checks, including skin-adjacent colors), object clutter.
+    Returns the distractor's bounding box."""
+    import cv2
+
+    kind = rng.integers(0, 3)
+    s = float(rng.integers(16, 44))
+    cx = rng.uniform(s + 2, size - s - 2)
+    cy = rng.uniform(s + 2, size - s - 2)
+    skin = tuple(int(c) for c in rng.integers(170, 230, 3))
+    if kind == 0:  # hand: palm ellipse + finger strokes
+        cv2.ellipse(img, (int(cx), int(cy + 0.3 * s)), (int(0.55 * s), int(0.45 * s)),
+                    float(rng.uniform(-20, 20)), 0, 360, skin, -1)
+        for i in range(5):
+            ang = math.radians(-60 + 30 * i + rng.uniform(-8, 8))
+            fx = cx + math.sin(ang) * s * 0.9
+            fy = cy - 0.1 * s - math.cos(ang) * s * 0.8
+            cv2.line(img, (int(cx + math.sin(ang) * 0.3 * s),
+                           int(cy + 0.1 * s - math.cos(ang) * 0.3 * s)),
+                     (int(fx), int(fy)), skin, max(2, int(0.16 * s)))
+    elif kind == 1:  # patterned clothing: striped or checkered rectangle
+        x1, y1 = int(cx - s), int(cy - 0.8 * s)
+        x2, y2 = int(cx + s), int(cy + 0.8 * s)
+        base = skin if rng.random() < 0.5 else tuple(
+            int(c) for c in rng.integers(40, 220, 3))
+        other = tuple(int(c) for c in rng.integers(10, 240, 3))
+        cv2.rectangle(img, (x1, y1), (x2, y2), base, -1)
+        step = int(rng.integers(3, 9))
+        if rng.random() < 0.5:  # stripes
+            for x in range(x1, x2, 2 * step):
+                cv2.rectangle(img, (x, y1), (min(x + step, x2), y2), other, -1)
+        else:  # checks
+            for x in range(x1, x2, 2 * step):
+                for y in range(y1, y2, 2 * step):
+                    cv2.rectangle(img, (x, y), (min(x + step, x2), min(y + step, y2)),
+                                  other, -1)
+    else:  # object clutter: overlapping circles
+        for _ in range(int(rng.integers(3, 7))):
+            r = int(rng.integers(3, max(4, int(0.4 * s))))
+            ox = int(cx + rng.uniform(-s, s))
+            oy = int(cy + rng.uniform(-s, s))
+            color = tuple(int(c) for c in rng.integers(30, 230, 3))
+            cv2.circle(img, (ox, oy), r, color, -1)
+    return [cx - s, cy - s, cx + s, cy + s]
+
+
+def _apply_domain_shift(img, rng):
+    """Lighting/texture domain shift: illumination gradient, gamma, color
+    cast, and a fine texture the training background never shows."""
+    h, w = img.shape[:2]
+    x = np.linspace(-1.0, 1.0, w, dtype=np.float32)[None, :, None]
+    y = np.linspace(-1.0, 1.0, h, dtype=np.float32)[:, None, None]
+    gx, gy = rng.uniform(-0.35, 0.35, 2)
+    illum = 1.0 + gx * x + gy * y  # directional lighting ramp
+    gamma = rng.uniform(0.6, 1.6)
+    cast = rng.uniform(0.8, 1.2, 3).astype(np.float32)
+    texture = rng.normal(0.0, rng.uniform(2.0, 8.0), img.shape).astype(np.float32)
+    out = (img.astype(np.float32) / 255.0) ** gamma
+    out = out * illum * cast * 255.0 + texture
+    img[:] = np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _apply_motion_blur(img, rng, max_len: int = 13):
+    """Directional motion blur over the whole scene."""
+    import cv2
+
+    length = int(rng.integers(7, max_len + 1))
+    kernel = np.zeros((length, length), np.float32)
+    ang = rng.uniform(0, math.pi)
+    cv2.line(
+        kernel,
+        (int(length / 2 * (1 - math.cos(ang))), int(length / 2 * (1 - math.sin(ang)))),
+        (int(length / 2 * (1 + math.cos(ang))), int(length / 2 * (1 + math.sin(ang)))),
+        1.0,
+        1,
+    )
+    kernel /= kernel.sum()
+    img[:] = cv2.filter2D(img, -1, kernel)
+
+
 def _background(rng, size):
     import cv2
 
@@ -167,6 +249,18 @@ def render_stress_scene(
         for _ in range(8):
             _draw_distractor(img, rng, size)
         boxes = []
+    elif category == "nonface_distractors":
+        # hands / patterned clothing / clutter NEXT TO faces: recall must
+        # hold and nothing may fire on the distractors
+        boxes, _ = _place_faces(img, rng, size, n=2, smin=40, smax=80)
+        for _ in range(6):
+            _draw_nonface_distractor(img, rng, size)
+    elif category == "domain_shift":
+        boxes, _ = _place_faces(img, rng, size, n=3, smin=40, smax=90)
+        _apply_domain_shift(img, rng)
+    elif category == "motion_blur":
+        boxes, _ = _place_faces(img, rng, size, n=3, smin=44, smax=90)
+        _apply_motion_blur(img, rng)
     else:
         raise ValueError(f"unknown stress category: {category}")
     return img, np.asarray(boxes, np.float32).reshape(-1, 4)
@@ -174,7 +268,8 @@ def render_stress_scene(
 
 STRESS_CATEGORIES = (
     "baseline", "crowded", "tiny", "huge", "occlusion", "rotated",
-    "low_contrast", "noisy", "hard_negatives",
+    "low_contrast", "noisy", "hard_negatives", "nonface_distractors",
+    "domain_shift", "motion_blur",
 )
 
 
@@ -207,9 +302,19 @@ def render_stress_training_scene(
     neg_boxes = [
         _draw_distractor(img, rng, size) for _ in range(int(rng.integers(1, 5)))
     ]
+    # non-face distractors (hands, clothing, clutter) also feed hard-negative
+    # patch sampling
+    neg_boxes += [
+        _draw_nonface_distractor(img, rng, size)
+        for _ in range(int(rng.integers(0, 3)))
+    ]
     if rng.random() < 0.3:
         noise = rng.normal(0, rng.uniform(5, 18), img.shape)
         img[:] = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    if rng.random() < 0.25:
+        _apply_domain_shift(img, rng)
+    if rng.random() < 0.2:
+        _apply_motion_blur(img, rng, max_len=9)
     return (
         img,
         np.asarray(boxes, np.float32).reshape(-1, 4),
