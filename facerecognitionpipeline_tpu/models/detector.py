@@ -139,10 +139,14 @@ class MTCNNDetector:
             weights_path = None
 
         if variables is not None:
-            self.variables = variables
+            # device_put: loaders return host numpy trees, and numpy args to
+            # a jitted call are re-uploaded on EVERY call (the embedder's
+            # 260 MB/step lesson, pipeline/embedder.py; the cascade's ~2 MB
+            # costs ~60 ms/step through this image's device tunnel).
+            self.variables = jax.device_put(variables)
             self.pretrained = True
         elif weights_path is not None:
-            self.variables = self._load_weights(weights_path)
+            self.variables = jax.device_put(self._load_weights(weights_path))
             self.pretrained = True
         else:
             print(

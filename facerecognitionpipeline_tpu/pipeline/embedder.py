@@ -131,6 +131,13 @@ class FaceEmbedder:
             self.model = build_backbone(build_arch, dtype=dtype, folded=True)
             self.folded = True
 
+        # Pin the variables on device ONCE. Checkpoint loaders and the BN
+        # fold return host numpy trees; passing those to a jitted call
+        # re-uploads every parameter on EVERY call (~260 MB/step for ir_101
+        # through this image's ~32 MB/s device tunnel — measured as a 100x
+        # fused-step regression before this line existed).
+        self.variables = jax.device_put(self.variables)
+
         self._forward = jax.jit(self._forward_impl)
 
     def _load_weights(self, path: str) -> dict:
