@@ -43,6 +43,53 @@ P_KEEP = 256
 R_KEEP = 96
 
 
+def _pnet_out_dim(s: int) -> int:
+    """P-net output extent for an even input extent s (VALID 3x3 conv ->
+    2x2/2 pool (exact for even s) -> two VALID 3x3 convs)."""
+    assert s % 2 == 0
+    return (s - 4) // 2 - 3
+
+
+def _pack_pyramid(h: int, w: int, scales: list[float], gap: int = 4):
+    """Static shelf-packing of the image pyramid into ONE canvas.
+
+    Every region gets EVEN dims at an EVEN origin, so P-net over the canvas
+    reproduces the per-scale P-net outputs BIT-EXACTLY inside each region's
+    submap: all P-net convs are VALID (a submap cell's receptive field never
+    leaves its region) and the 2x2/2 pool needs no ceil padding for even
+    extents aligned to even origins. Gap pixels only feed canvas cells
+    outside every submap, which are discarded.
+
+    Returns (canvas_h, canvas_w, regions) with regions a list of
+    (sh, sw, oy, ox) in scale order.
+    """
+
+    def even(x: float) -> int:
+        n = int(math.ceil(x))
+        return n + (n % 2)
+
+    dims = [(even(h * s), even(w * s)) for s in scales]
+    shelf_w = dims[0][1] + gap + (dims[1][1] if len(dims) > 1 else 0) + gap + (
+        dims[2][1] if len(dims) > 2 else 0
+    )
+    regions: list[tuple[int, int, int, int]] = []
+    oy = ox = shelf_h = 0
+    canvas_w = 0
+    for sh, sw in dims:
+        if ox + sw > shelf_w and ox > 0:
+            oy += shelf_h + gap
+            oy += oy % 2
+            ox = 0
+            shelf_h = 0
+        regions.append((sh, sw, oy, ox))
+        canvas_w = max(canvas_w, ox + sw)
+        ox += sw + gap
+        ox += ox % 2
+        shelf_h = max(shelf_h, sh)
+    canvas_h = oy + shelf_h
+    return canvas_h + canvas_h % 2, canvas_w + canvas_w % 2, regions
+
+
 def _square(boxes: jax.Array) -> jax.Array:
     """Expand boxes to squares around their centers (MTCNN 'rerec')."""
     w = boxes[:, 2] - boxes[:, 0]
@@ -98,6 +145,7 @@ class MTCNNDetector:
         rnet_crop_downscale: int = 2,
         stage1_keep: int = P_KEEP,
         stage2_keep: int = R_KEEP,
+        pack_pyramid: bool = True,
     ):
         """rnet_crop_downscale: R-net's 24x24 candidate crops resample from
         the frame pre-downsampled by this factor (one separable-matmul
@@ -117,7 +165,15 @@ class MTCNNDetector:
         crop + conv compute in later stages whether occupied or not).
         The defaults are load-bearing: halving to 128/64 was measured to
         drop crowded-scene recall to 0.52 and tiny-face recall to 0 on the
-        stress suite — shrink only for single-face/large-face workloads."""
+        stress suite — shrink only for single-face/large-face workloads.
+
+        pack_pyramid: run P-net ONCE over all pyramid scales shelf-packed
+        into a single canvas (`_pack_pyramid`) instead of one conv program
+        per scale. Bit-exact per region (P-net is all-VALID convs; regions
+        get even dims at even origins so the 2x2/2 pool needs no ceil
+        padding), but scaled sizes round up to even and boxes map back by
+        the TRUE per-axis factors sh/h, sw/w — proposal coordinates can
+        differ from the unpacked path at the sub-pixel level."""
         self.det_size = det_size
         self.max_faces = max_faces
         self.thresholds = stage_thresholds or (0.6, 0.7, det_thresh)
@@ -166,6 +222,10 @@ class MTCNNDetector:
             self.scales.append(s)
             s *= scale_factor
 
+        self.pack_pyramid = bool(pack_pyramid)
+        if self.pack_pyramid:
+            self._canvas_hw = _pack_pyramid(h, w, self.scales)
+
         self._detect_one = jax.jit(self._cascade)
         self._detect_batch = jax.jit(jax.vmap(self._cascade, in_axes=(None, 0)))
 
@@ -191,6 +251,57 @@ class MTCNNDetector:
         np.savez(path, **{"/".join(k): np.asarray(v) for k, v in flat.items()})
 
     # ------------------------------------------------------------- cascade
+
+    def _stage1_packed(self, variables, img):
+        """P-net ONCE over the shelf-packed pyramid canvas -> proposals.
+
+        One conv program instead of len(scales) tiny ones: the per-scale
+        resizes write into a single canvas, P-net runs on it once, and each
+        scale's output submap is a STATIC slice of the canvas map (bit-exact
+        vs running P-net on that scale alone — see `_pack_pyramid`)."""
+        h, w, _ = img.shape
+        ch, cw, regions = self._canvas_hw
+        canvas = jnp.zeros((ch, cw, 3), img.dtype)
+        for sh, sw, oy, ox in regions:
+            scaled = jax.image.resize(img, (sh, sw, 3), method="linear")
+            canvas = jax.lax.dynamic_update_slice(canvas, scaled, (oy, ox, 0))
+        prob, reg = self.pnet.apply(variables["pnet"], canvas[None])
+        prob, reg = prob[0], reg[0]
+
+        all_boxes, all_scores, all_valid = [], [], []
+        thr1 = self.thresholds[0]
+        for sh, sw, oy, ox in regions:
+            fh, fw = _pnet_out_dim(sh), _pnet_out_dim(sw)
+            a, b = oy // 2, ox // 2
+            sub_p = jax.lax.slice(prob, (a, b), (a + fh, b + fw))
+            sub_r = jax.lax.slice(reg, (a, b, 0), (a + fh, b + fw, 4))
+            sy, sx = sh / float(h), sw / float(w)
+            k = min(P_PER_SCALE, fh * fw)
+            top_p, top_i = jax.lax.top_k(sub_p.reshape(-1), k)
+            rows = (top_i // fw).astype(jnp.float32)
+            cols = (top_i % fw).astype(jnp.float32)
+            x1 = cols * 2.0 / sx
+            y1 = rows * 2.0 / sy
+            x2 = (cols * 2.0 + 12.0) / sx
+            y2 = (rows * 2.0 + 12.0) / sy
+            boxes = jnp.stack([x1, y1, x2, y2], axis=1)
+            boxes = _apply_reg(boxes, sub_r.reshape(-1, 4)[top_i])
+            pad = P_PER_SCALE - k
+            if pad:
+                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+                top_p = jnp.pad(top_p, (0, pad), constant_values=_NEG)
+            all_boxes.append(boxes)
+            all_scores.append(top_p)
+            all_valid.append(top_p > thr1)
+
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        valid = jnp.concatenate(all_valid)
+
+        keep = nms_mask(boxes, scores, valid, iou_threshold=0.7)
+        return topk_boxes(
+            boxes, jnp.where(keep, scores, _NEG), keep, self.stage1_keep
+        )
 
     def _stage1(self, variables, img):
         """P-net over the static pyramid -> padded proposals."""
@@ -293,7 +404,8 @@ class MTCNNDetector:
     def _cascade(self, variables, frame):
         """frame [H,W,3] raw RGB float/uint8 -> padded detections."""
         img = (frame.astype(jnp.float32) - 127.5) / 128.0
-        boxes, scores, valid = self._stage1(variables, img)
+        stage1 = self._stage1_packed if self.pack_pyramid else self._stage1
+        boxes, scores, valid = stage1(variables, img)
         boxes, scores, valid = self._stage2(variables, img, boxes, scores, valid)
         boxes, scores, landmarks, valid = self._stage3(variables, img, boxes, scores, valid)
         h, w, _ = frame.shape
