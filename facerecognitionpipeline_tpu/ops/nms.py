@@ -65,6 +65,21 @@ def nms_mask(
     # to the greedy solution in (longest chain) iterations — each sweep is
     # one vectorized [N,N] reduction instead of the O(N) sequential loop a
     # direct greedy implementation needs (~40x faster at cascade sizes).
+    def sweep(keep):
+        return v & ~jnp.any(conflict & keep[None, :], axis=1)
+
+    # UNROLLED prologue (7 sweeps): real scenes' suppression chains are
+    # shallow, so a handful of sweeps with no loop machinery (XLA fuses them
+    # freely; no per-trip convergence reduction) finishes almost every
+    # input and the while_loop below exits on its first cond check. Deep
+    # chains still converge exactly — the loop picks up where the prologue
+    # stopped. keep == prev (adjacent sweeps equal) certifies the fixpoint:
+    # sweep(keep) = sweep(prev) = keep.
+    keep0 = sweep(v)
+    prev = v
+    for _ in range(6):
+        keep0, prev = sweep(keep0), keep0
+
     def cond(state):
         keep, prev, it = state
         return (it < n) & jnp.any(keep != prev)
@@ -75,12 +90,10 @@ def nms_mask(
         # halving the while_loop's per-iteration control overhead (three of
         # these loops run per cascade frame).
         keep, _, it = state
-        mid = v & ~jnp.any(conflict & keep[None, :], axis=1)
-        nxt = v & ~jnp.any(conflict & mid[None, :], axis=1)
-        return nxt, keep, it + 2
+        mid = sweep(keep)
+        return sweep(mid), keep, it + 2
 
-    first = v & ~jnp.any(conflict & v[None, :], axis=1)
-    keep_sorted, _, _ = jax.lax.while_loop(cond, body, (first, v, jnp.int32(1)))
+    keep_sorted, _, _ = jax.lax.while_loop(cond, body, (keep0, prev, jnp.int32(7)))
     # scatter back to original ordering
     keep = jnp.zeros(n, dtype=bool).at[order].set(keep_sorted)
     return keep

@@ -72,3 +72,20 @@ def test_topk_boxes(rng):
     b, s, v = topk_boxes(boxes, scores, valid, 3)
     assert list(np.asarray(s)) == [8.0, 7.0, 6.0]
     assert np.asarray(v).all()
+
+
+def test_nms_deep_suppression_chain():
+    """A chain of neighbor-overlapping boxes with descending scores has
+    suppression-chain depth ~N (keep 0 -> suppresses 1 -> frees 2 -> ...):
+    exercises the while_loop continuation past the unrolled 7-sweep
+    prologue (ops/nms.py) and must still match greedy exactly."""
+    n = 41
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        boxes[i] = [i * 12.0, 0.0, i * 12.0 + 20.0, 20.0]  # IoU(nbr)~0.25
+    scores = np.linspace(1.0, 0.1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    keep = np.asarray(nms_mask(boxes, scores, valid, 0.2))
+    golden = _numpy_nms(boxes, scores, 0.2)
+    assert golden == list(range(0, n, 2))  # sanity: alternating survivors
+    assert sorted(np.nonzero(keep)[0].tolist()) == golden
