@@ -145,7 +145,7 @@ class MTCNNDetector:
         rnet_crop_downscale: int = 2,
         stage1_keep: int = P_KEEP,
         stage2_keep: int = R_KEEP,
-        pack_pyramid: bool = True,
+        pack_pyramid: bool = False,
     ):
         """rnet_crop_downscale: R-net's 24x24 candidate crops resample from
         the frame pre-downsampled by this factor (one separable-matmul
@@ -173,7 +173,12 @@ class MTCNNDetector:
         get even dims at even origins so the 2x2/2 pool needs no ceil
         padding), but scaled sizes round up to even and boxes map back by
         the TRUE per-axis factors sh/h, sw/w — proposal coordinates can
-        differ from the unpacked path at the sub-pixel level."""
+        differ from the unpacked path at the sub-pixel level. MEASURED
+        SLOWER at the bench config (stage-1 8.65 vs 8.04 ms standalone,
+        B=8x640px: the canvas padding costs more than the 9 merged conv
+        dispatches save), so default OFF; the real stage-1 cost is the
+        pyramid resizes (5.6 of 8.0 ms), addressed by the progressive
+        `_pyramid` below."""
         self.det_size = det_size
         self.max_faces = max_faces
         self.thresholds = stage_thresholds or (0.6, 0.7, det_thresh)
@@ -252,6 +257,33 @@ class MTCNNDetector:
 
     # ------------------------------------------------------------- cascade
 
+    def _pyramid(self, img, dims=None):
+        """Pyramid levels at the static scales, built PROGRESSIVELY.
+
+        Resizing every level straight from the full frame was the single
+        largest detect cost (5.6 of 8.0 ms stage-1 standalone at B=8x640:
+        each anti-aliased `jax.image.resize` contracts over the FULL source
+        axis, so nine levels read the 640px frame nine times). Each level
+        now resamples from the previous one — the contraction runs over the
+        previous small level instead — and in the cascade compute dtype
+        (bf16 on the serving path, halving the traffic). The extra low-pass
+        of repeated 0.709x anti-aliased resampling is the classic image-
+        pyramid construction; stress-suite detection parity is pinned by
+        tests/test_detector_stress.py.
+        """
+        h, w, _ = img.shape
+        if dims is None:
+            dims = [
+                (int(math.ceil(h * s)), int(math.ceil(w * s)))
+                for s in self.scales
+            ]
+        levels = []
+        src = img.astype(self._crop_dtype)
+        for sh, sw in dims:
+            src = jax.image.resize(src, (sh, sw, 3), method="linear")
+            levels.append(src)
+        return levels
+
     def _stage1_packed(self, variables, img):
         """P-net ONCE over the shelf-packed pyramid canvas -> proposals.
 
@@ -261,9 +293,9 @@ class MTCNNDetector:
         vs running P-net on that scale alone — see `_pack_pyramid`)."""
         h, w, _ = img.shape
         ch, cw, regions = self._canvas_hw
-        canvas = jnp.zeros((ch, cw, 3), img.dtype)
-        for sh, sw, oy, ox in regions:
-            scaled = jax.image.resize(img, (sh, sw, 3), method="linear")
+        levels = self._pyramid(img, dims=[(sh, sw) for sh, sw, _, _ in regions])
+        canvas = jnp.zeros((ch, cw, 3), levels[0].dtype)
+        for (sh, sw, oy, ox), scaled in zip(regions, levels):
             canvas = jax.lax.dynamic_update_slice(canvas, scaled, (oy, ox, 0))
         prob, reg = self.pnet.apply(variables["pnet"], canvas[None])
         prob, reg = prob[0], reg[0]
@@ -308,10 +340,7 @@ class MTCNNDetector:
         h, w, _ = img.shape
         all_boxes, all_scores, all_valid = [], [], []
         thr1 = self.thresholds[0]
-        for scale in self.scales:
-            sh = int(math.ceil(h * scale))
-            sw = int(math.ceil(w * scale))
-            scaled = jax.image.resize(img, (sh, sw, 3), method="linear")
+        for scale, scaled in zip(self.scales, self._pyramid(img)):
             prob, reg = self.pnet.apply(variables["pnet"], scaled[None])
             prob = prob[0]  # [ph, pw]
             reg = reg[0]    # [ph, pw, 4]

@@ -55,7 +55,7 @@ def test_packed_submaps_bit_exact():
     import jax.numpy as jnp
 
     det = MTCNNDetector(det_size=(320, 320), min_face_size=18,
-                        weights_path="random")
+                        weights_path="random", pack_pyramid=True)
     ch, cw, regions = det._canvas_hw
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(320, 320, 3)).astype(np.float32))
