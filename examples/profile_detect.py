@@ -147,6 +147,20 @@ def main() -> None:
     def sync(x) -> None:
         np.asarray(jax.device_get(x))
 
+    # Fetch round-trip: each timed sample ends in ONE scalar fetch whose
+    # host<->device latency (~27 ms through this image's tunnel) would
+    # otherwise smear +roundtrip/chain into EVERY row — which is how round
+    # 3 briefly attributed ~5.4 phantom ms to the pyramid resizes. Measure
+    # it and subtract (same discipline as bench.py:90-118).
+    sync(jnp.zeros(()))
+    probes = []
+    for _ in range(5):
+        t_rt = time.perf_counter()
+        sync(jnp.zeros(()))
+        probes.append(time.perf_counter() - t_rt)
+    roundtrip = min(probes)
+    print(f"fetch roundtrip: {roundtrip * 1e3:.2f} ms", file=sys.stderr)
+
     results = {}
     prev = 0.0
     for name, fn in progs:
@@ -159,12 +173,16 @@ def main() -> None:
             for _ in range(args.chain):
                 out = jitted(det.variables, frames)
             sync(out[0])
-            times.append((time.perf_counter() - t0) / args.chain * 1e3)
+            wall = time.perf_counter() - t0
+            if wall > roundtrip * 1.05:
+                wall -= roundtrip
+            times.append(wall / args.chain * 1e3)
         ms = float(np.min(times))
         results[name] = ms
         print(f"{name:42s} {ms:8.2f} ms   (delta {ms - prev:+7.2f})",
               file=sys.stderr)
         prev = ms
+    results["fetch_roundtrip_ms"] = roundtrip * 1e3
     print(json.dumps(results))
 
 

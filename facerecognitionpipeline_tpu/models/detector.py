@@ -43,6 +43,24 @@ P_KEEP = 256
 R_KEEP = 96
 
 
+def _resize_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] antialiased-linear resize weights (static).
+
+    Same triangle-kernel semantics as `jax.image.resize(method='linear',
+    antialias=True)`: output sample o reads source position
+    (o+0.5)*src/dst - 0.5; for downscale the hat stretches by src/dst and
+    rows renormalize. Baked as a compile-time constant so a whole resize is
+    TWO MXU matmuls against static weights — measured (in-program,
+    roundtrip-subtracted, B=8x640) the full 9-level pyramid drops 1.05 ms
+    (direct `jax.image.resize` per level) -> 0.46 ms (progressive static
+    matmuls in the cascade dtype)."""
+    scale = dst / src
+    pos = (np.arange(dst, dtype=np.float64) + 0.5) / scale - 0.5
+    d = np.abs(pos[:, None] - np.arange(src, dtype=np.float64)[None, :])
+    w = np.maximum(0.0, 1.0 - (d * scale if scale < 1.0 else d))
+    return (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
 def _pnet_out_dim(s: int) -> int:
     """P-net output extent for an even input extent s (VALID 3x3 conv ->
     2x2/2 pool (exact for even s) -> two VALID 3x3 convs)."""
@@ -150,10 +168,10 @@ class MTCNNDetector:
         """rnet_crop_downscale: R-net's 24x24 candidate crops resample from
         the frame pre-downsampled by this factor (one separable-matmul
         resize shared by all candidates) instead of the full-resolution
-        frame. The stage-2 crop_resize contraction is the single most
-        expensive piece of the cascade (~4.2 of detect's ~8.8 ms at 640px,
-        B=8x256 candidates, measured) and its cost scales with the source
-        width; a 24px crop of a >=`2*24`px box samples at >=1 source pixel
+        frame. The stage-2 crop_resize contraction scales with the source
+        width (each candidate contracts over the full frame axis); halving
+        the source was measured on the fused bench step as 49.5 -> 47.2 ms
+        p50; a 24px crop of a >=`2*24`px box samples at >=1 source pixel
         per output sample either way, so factor 2 changes scores only
         marginally (stress-suite guarded; sample positions stay bit-exact
         for any frame size — only the source is pre-low-passed). Set 1 to crop from full
@@ -176,9 +194,10 @@ class MTCNNDetector:
         differ from the unpacked path at the sub-pixel level. MEASURED
         SLOWER at the bench config (stage-1 8.65 vs 8.04 ms standalone,
         B=8x640px: the canvas padding costs more than the 9 merged conv
-        dispatches save), so default OFF; the real stage-1 cost is the
-        pyramid resizes (5.6 of 8.0 ms), addressed by the progressive
-        `_pyramid` below."""
+        dispatches save), so default OFF. With roundtrip-corrected
+        profiling the whole of stage 1 is only ~1.9 ms of the ~6.8 ms
+        cascade (pyramid 0.46 via the static-matmul `_pyramid` below);
+        stages 2-3 are where the remaining milliseconds live."""
         self.det_size = det_size
         self.max_faces = max_faces
         self.thresholds = stage_thresholds or (0.6, 0.7, det_thresh)
@@ -258,15 +277,19 @@ class MTCNNDetector:
     # ------------------------------------------------------------- cascade
 
     def _pyramid(self, img, dims=None):
-        """Pyramid levels at the static scales, built PROGRESSIVELY.
+        """Pyramid levels at the static scales, built PROGRESSIVELY in the
+        cascade compute dtype with STATIC-WEIGHT matmul resizes.
 
-        Resizing every level straight from the full frame was the single
-        largest detect cost (5.6 of 8.0 ms stage-1 standalone at B=8x640:
-        each anti-aliased `jax.image.resize` contracts over the FULL source
-        axis, so nine levels read the 640px frame nine times). Each level
-        now resamples from the previous one — the contraction runs over the
-        previous small level instead — and in the cascade compute dtype
-        (bf16 on the serving path, halving the traffic). The extra low-pass
+        Each level is two `dot_general`s against compile-time
+        `_resize_matrix` constants (same antialiased-linear semantics as
+        `jax.image.resize`), sourced from the previous level so the
+        contraction stays small, in bf16 on the serving path. Measured
+        (examples/profile_detect.py, roundtrip-subtracted, B=8x640):
+        1.05 ms for nine direct full-frame `jax.image.resize` calls ->
+        0.46 ms for this path. MEASUREMENT CAUTION: an earlier chain=5
+        profile without roundtrip subtraction attributed ~5.7 ms to the
+        pyramid — that was the ~25 ms fetch round-trip smeared over the
+        chain, not compute; always subtract the probe. The extra low-pass
         of repeated 0.709x anti-aliased resampling is the classic image-
         pyramid construction; stress-suite detection parity is pinned by
         tests/test_detector_stress.py.
@@ -277,11 +300,19 @@ class MTCNNDetector:
                 (int(math.ceil(h * s)), int(math.ceil(w * s)))
                 for s in self.scales
             ]
+        dt = self._crop_dtype
         levels = []
-        src = img.astype(self._crop_dtype)
+        src = img.astype(dt)
+        ph, pw = h, w
         for sh, sw in dims:
-            src = jax.image.resize(src, (sh, sw, 3), method="linear")
+            wy = jnp.asarray(_resize_matrix(ph, sh)).astype(dt)
+            wx = jnp.asarray(_resize_matrix(pw, sw)).astype(dt)
+            rows = jnp.einsum("oh,hwc->owc", wy, src,
+                              preferred_element_type=dt)
+            src = jnp.einsum("xw,owc->oxc", wx, rows,
+                             preferred_element_type=dt)
             levels.append(src)
+            ph, pw = sh, sw
         return levels
 
     def _stage1_packed(self, variables, img):
