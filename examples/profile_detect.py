@@ -113,7 +113,7 @@ def main() -> None:
         )[0]
         sx, sy = s / float(w), s / float(h)
         small_boxes = sq * jnp.array([sx, sy, sx, sy], jnp.float32)
-        crops = crop_resize(small, small_boxes, 24, compute_dtype=det._crop_dtype)
+        crops = det._crop(small, small_boxes, 24)
         return crops.sum() + scores.sum() + valid.sum()
 
     def prog_s2(v, frame):
@@ -129,8 +129,39 @@ def main() -> None:
         from facerecognitionpipeline_tpu.models.detector import _square
 
         sq = jnp.clip(_square(boxes), 0, max(h, w))
-        crops = crop_resize(img, sq, 48, compute_dtype=det._crop_dtype)
+        crops = det._crop(img, sq, 48)
         return crops.sum() + scores.sum() + valid.sum()
+
+    def prog_s2rnet(v, frame):
+        # stage2 through the R-net conv, but no NMS/topk afterwards
+        img = norm(frame)
+        boxes, scores, valid = det._stage1(v, img)
+        from facerecognitionpipeline_tpu.models.detector import _square
+
+        sq = jnp.clip(_square(boxes), 0, max(h, w))
+        d = det.rnet_crop_downscale
+        s = max(h, w) // d
+        small = crop_resize(
+            img, jnp.array([[0.0, 0.0, float(w), float(h)]], jnp.float32), s,
+            compute_dtype=det._crop_dtype,
+        )[0]
+        sx, sy = s / float(w), s / float(h)
+        small_boxes = sq * jnp.array([sx, sy, sx, sy], jnp.float32)
+        crops = det._crop(small, small_boxes, 24)
+        prob, reg = det.rnet.apply(v["rnet"], crops)
+        return prob.sum() + reg.sum() + scores.sum() + valid.sum()
+
+    def prog_s3onet(v, frame):
+        # full stage2, stage3 crops + O-net conv, no final NMS/topk
+        img = norm(frame)
+        st = det._stage1(v, img)
+        boxes, scores, valid = det._stage2(v, img, *st)
+        from facerecognitionpipeline_tpu.models.detector import _square
+
+        sq = jnp.clip(_square(boxes), 0, max(h, w))
+        crops = det._crop(img, sq, 48)
+        prob, reg, lmk = det.onet.apply(v["onet"], crops)
+        return prob.sum() + reg.sum() + lmk.sum() + scores.sum() + valid.sum()
 
     def prog_full(v, frame):
         out = det._cascade(v, frame)
@@ -140,8 +171,12 @@ def main() -> None:
         ("pyramid progressive", prog_pyr),
         ("pyramid direct (old)", prog_pyr_direct),
         ("stage1 (full s1)", prog_s1),
-        ("+ rnet + nms (full s2)", prog_s2),
-        ("+ onet + final nms (full cascade)", prog_full),
+        ("+ s2 crops", prog_s2crop),
+        ("+ rnet conv", prog_s2rnet),
+        ("+ s2 nms/topk (full s2)", prog_s2),
+        ("+ s3 crops", prog_s3crop),
+        ("+ onet conv", prog_s3onet),
+        ("+ final nms (full cascade)", prog_full),
     ]
 
     def sync(x) -> None:

@@ -180,7 +180,23 @@ class RecognitionEngine:
             frames_f32 = jax.lax.with_sharding_constraint(
                 frames_f32, NamedSharding(self.mesh, P("data"))
             )
-        det = self.detector._detect_batch(det_vars, frames_f32)
+        detect = self.detector._detect_batch
+        if self.mesh is not None and getattr(
+            self.detector, "crop_impl", "matmul"
+        ) == "pallas":
+            # Same constraint as the pallas align below: the SPMD
+            # partitioner can't split a bare pallas_call, so run the whole
+            # cascade per shard over the 'data' axis (vars replicated).
+            from jax.sharding import PartitionSpec as P
+
+            detect = jax.shard_map(
+                detect,
+                mesh=self.mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        det = detect(det_vars, frames_f32)
 
         aligned = self._align_batch(frames_f32, det["landmarks"])
         aligned = jnp.clip(jnp.round(aligned), 0.0, 255.0)
