@@ -221,7 +221,11 @@ class RecognitionEngine:
             "face_valid": det["valid"],
             "quality_ok": ok,
             "quality_metrics": metrics,
-            "aligned": aligned,
+            # uint8 ON DEVICE: values are already round+clip'd to [0,255];
+            # consumers fetch crops over the host link (150 KB f32 vs
+            # 37.5 KB u8 per face — the link is the serving ceiling on
+            # tunneled hosts, see PERFORMANCE.md)
+            "aligned": aligned.astype(jnp.uint8),
             "embeddings": feats,
             "embedding_norms": norms.reshape(b, f),
             "match_scores": scores.reshape(b, f, gallery_k),

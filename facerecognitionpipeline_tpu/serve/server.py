@@ -462,7 +462,11 @@ class FaceRecognitionServer:
                     "quality_metrics": {
                         k: float(v[i]) for k, v in result["quality_metrics"].items()
                     },
-                    "aligned_face": np.asarray(result["aligned"][i], np.uint8),
+                    # device slice, NOT fetched: the crop crosses the host
+                    # link only when something persists it (imwrite_rgb
+                    # np.asarray's) — most frames never do, and the link is
+                    # the multi-client serving ceiling
+                    "aligned_face": result["aligned"][i],
                     "original_crop": self._margin_crop(
                         crop_frame(), canvas_bbox / crop_scale
                     ),
