@@ -520,24 +520,26 @@ def align_faces_batch_pallas(
     compute_dtype=jnp.bfloat16,
     tile: int = 1792,
 ) -> jax.Array:
-    """Whole-batch alignment with the fused Pallas stage-B kernel.
+    """Whole-batch alignment, both stages as fused Pallas kernels.
 
     images [B,H,W,C]; landmarks [B,F,5,2] -> [B,F,out,out,C] float32.
-    Stage A (`crop_resize` into per-face patches) is identical to
-    `align_faces_matmul`; stage B runs as ONE Pallas program over all B*F
-    faces with the patch resident in VMEM
-    (`ops.pallas_warp.warp_patches_affine`), eliminating the HBM round-trip
-    of the `[F,O,K,C]` intermediate that made alignment ~13 ms of the fused
-    serving step.
+    Stage A cuts per-face patches with `ops.pallas_crop.crop_resize_pallas`
+    (frame VMEM-resident, hat weights from iota — numerically identical to
+    the XLA `crop_resize` used by `align_faces_matmul`, including the
+    integer-window snap's lossless one-hot weights, but without the
+    [F, patch, W, C] HBM intermediate and the per-face tiny-tile column
+    pass); stage B runs as ONE Pallas program over all B*F faces with the
+    patch resident in VMEM (`ops.pallas_warp.warp_patches_affine`),
+    eliminating the HBM round-trip of the `[F,O,K,C]` intermediate that
+    made alignment ~13 ms of the fused serving step.
     """
+    from facerecognitionpipeline_tpu.ops.pallas_crop import crop_resize_pallas
     from facerecognitionpipeline_tpu.ops.pallas_warp import warp_patches_affine
 
     b, f = landmarks.shape[:2]
     mats = similarity_transform(landmarks.reshape(b * f, 5, 2), template)
     boxes, coeffs = warp_coeffs(mats, output_size, output_size, patch_size)
-    patches = jax.vmap(
-        lambda img, bx: crop_resize(img, bx, patch_size, compute_dtype=compute_dtype)
-    )(images, boxes.reshape(b, f, 4))
+    patches = crop_resize_pallas(images, boxes.reshape(b, f, 4), patch_size)
     c = patches.shape[-1]
     out = warp_patches_affine(
         patches.reshape(b * f, patch_size, patch_size, c),
