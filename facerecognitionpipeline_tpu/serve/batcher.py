@@ -111,6 +111,7 @@ class DeviceBatcher:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._zero_frame = None
+        self._carry = None  # overflow group held for the next dispatch
 
     # ----------------------------------------------------------- lifecycle
 
@@ -163,40 +164,77 @@ class DeviceBatcher:
     # ------------------------------------------------------------- stage 1
 
     def _transfer_run(self) -> None:
-        """H2D uploads, decoupled from dispatch so they overlap compute."""
+        """H2D uploads, decoupled from dispatch so they overlap compute.
+
+        Frames upload in GROUPS: every `jax.device_put` pays a fixed
+        per-transfer cost on top of bandwidth (measured 45 ms for one
+        0.61 MB i420 frame vs 16.2 ms/frame for eight stacked — a ~33 ms
+        fixed overhead through this image's device tunnel, which alone
+        capped multi-client serving at ~22 req/s). We take whatever is
+        already queued without waiting (waiting would add latency; even
+        2-frame groups nearly halve the overhead), stack on host, and
+        ship ONE transfer."""
         while not self._stop.is_set():
             try:
                 frame, fut = self._ingress.get(timeout=0.1)
             except queue.Empty:
                 continue
+            frames, futs = [frame], [fut]
+            while len(frames) < self.max_batch:
+                try:
+                    f2, u2 = self._ingress.get_nowait()
+                except queue.Empty:
+                    break
+                frames.append(f2)
+                futs.append(u2)
             try:
-                dev = jax.device_put(np.ascontiguousarray(frame))
-                self._ready.put((dev, fut))
+                dev = jax.device_put(np.stack(frames))
+                self._ready.put((dev, futs))
             except Exception as e:
-                if not fut.done():
-                    fut.set_exception(e)
+                for u in futs:
+                    if not u.done():
+                        u.set_exception(e)
 
     # ------------------------------------------------------------- stage 2
 
     def _drain(self) -> list:
+        """Collect uploaded GROUPS (device [n,...] batch + futures) until
+        max_batch frames are in hand or the batching window closes.
+
+        A group that would push the total past max_batch is CARRIED to the
+        next dispatch instead of joined — combined batches must never
+        exceed max_batch, or the engine jit-compiles a brand-new shape
+        mid-traffic (a group is at most max_batch frames by construction,
+        so the carry slot never holds an oversized group either)."""
         import time
 
-        items = []
-        try:
-            items.append(self._ready.get(timeout=0.1))
-        except queue.Empty:
-            return items
+        groups = []
+        if self._carry is not None:
+            groups.append(self._carry)
+            self._carry = None
+        else:
+            try:
+                groups.append(self._ready.get(timeout=0.1))
+            except queue.Empty:
+                return groups
+        n = int(groups[0][0].shape[0])
         deadline = self.max_wait_s
         t0 = time.perf_counter()
-        while len(items) < self.max_batch:
+        while n < self.max_batch:
             remaining = deadline - (time.perf_counter() - t0)
             if remaining <= 0:
                 break
             try:
-                items.append(self._ready.get(timeout=remaining))
+                g = self._ready.get(timeout=remaining)
             except queue.Empty:
                 break
-        return items
+            gn = int(g[0].shape[0])
+            if n + gn > self.max_batch:
+                self._carry = g
+                break
+            groups.append(g)
+            n += gn
+        return groups
 
     def _bucket(self, n: int) -> int:
         for b in self.bucket_sizes:
@@ -208,20 +246,29 @@ class DeviceBatcher:
         import jax.numpy as jnp
 
         while not self._stop.is_set():
-            items = self._drain()
-            if not items:
+            groups = self._drain()
+            if not groups:
                 continue
+            items = [fut for _, futs in groups for fut in futs]
             try:
-                n = len(items)
+                n = sum(int(g[0].shape[0]) for g in groups)
                 b = self._bucket(n)
-                frames = [f for f, _ in items]
+                parts = [g[0] for g in groups]
                 if b > n:
-                    if self._zero_frame is None or (
-                        self._zero_frame.shape != frames[0].shape
+                    pad_shape = (b - n, *parts[0].shape[1:])
+                    if (
+                        self._zero_frame is None
+                        or self._zero_frame.shape != pad_shape
                     ):
-                        self._zero_frame = jnp.zeros_like(frames[0])
-                    frames.extend([self._zero_frame] * (b - n))
-                batch = jnp.stack(frames)  # device-side stack
+                        self._zero_frame = jnp.zeros(
+                            pad_shape, parts[0].dtype
+                        )
+                    parts.append(self._zero_frame)
+                # groups arrive pre-stacked on device; one device-side
+                # concat only when several groups or padding combine
+                batch = (
+                    parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                )
                 snapshot = self.gallery_provider()
                 templates, valid = snapshot[0], snapshot[1]
                 gallery_ids = snapshot[2] if len(snapshot) > 2 else None
@@ -233,7 +280,7 @@ class DeviceBatcher:
                 # overlaps this step's device compute
                 self._done.put((out, gallery_ids, items))
             except Exception as e:
-                for _, fut in items:
+                for fut in items:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -266,7 +313,7 @@ class DeviceBatcher:
                     if k in out
                 }
                 host = jax.device_get(out)
-                for i, (_, fut) in enumerate(items):
+                for i, fut in enumerate(items):
                     result = jax.tree.map(lambda a, i=i: a[i], host)
                     for k, v in lazy.items():
                         result[k] = _LazySlice(v, (i,))
@@ -274,6 +321,6 @@ class DeviceBatcher:
                         result["gallery_ids"] = gallery_ids
                     fut.set_result(result)
             except Exception as e:
-                for _, fut in items:
+                for fut in items:
                     if not fut.done():
                         fut.set_exception(e)

@@ -339,3 +339,40 @@ def test_client_raw_i420_payload(server):
     )
     assert client.run() == 0
     assert client.recognized_tracks
+
+
+def test_batcher_never_dispatches_unknown_batch_shape(rng):
+    """Grouped H2D uploads must combine to AT MOST max_batch frames — an
+    oversized concat would jit-compile a brand-new engine shape
+    mid-traffic (regression: two 6-frame groups once dispatched as B=12)."""
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    seen = []
+
+    class RecordingEngine:
+        def process_frames(self, frames, templates, valid, gallery_k=3):
+            b = int(frames.shape[0])
+            seen.append(b)
+            f = 2
+            return {
+                "match_scores": np.zeros((b, f, gallery_k), np.float32),
+                "match_idx": np.zeros((b, f, gallery_k), np.int32),
+                "face_valid": np.zeros((b, f), bool),
+            }
+
+    batcher = DeviceBatcher(
+        RecordingEngine(),
+        lambda: (np.zeros((4, 8), np.float32), np.ones(4, bool)),
+        max_batch=4,
+        max_wait_ms=20.0,
+    )
+    batcher.start()
+    try:
+        frame = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        futs = [batcher.submit(frame) for _ in range(13)]
+        for f in futs:
+            r = f.result(timeout=30)
+            assert r["match_scores"].shape == (2, 3)
+    finally:
+        batcher.stop()
+    assert seen and all(b in batcher.bucket_sizes for b in seen), seen
