@@ -137,21 +137,30 @@ def main() -> int:
     for n_clients in args.clients:
         counts = [0] * n_clients
         lat: list = []
+        errors: list = []
         stop = time.perf_counter() + args.seconds
 
         def worker(ci: int):
-            s = requests.Session()
-            while time.perf_counter() < stop:
-                t0 = time.perf_counter()
-                r = s.post(
-                    f"{url}/process_frame_raw",
-                    data=body,
-                    headers=headers,
-                    timeout=60,
-                )
-                assert r.status_code == 200, r.text[:200]
-                lat.append(time.perf_counter() - t0)
-                counts[ci] += 1
+            # record failures instead of letting an assert silently kill
+            # this one thread — a partial fleet prints a wrong req/s
+            try:
+                s = requests.Session()
+                while time.perf_counter() < stop:
+                    t0 = time.perf_counter()
+                    r = s.post(
+                        f"{url}/process_frame_raw",
+                        data=body,
+                        headers=headers,
+                        timeout=60,
+                    )
+                    if r.status_code != 200:
+                        raise RuntimeError(
+                            f"HTTP {r.status_code}: {r.text[:200]}"
+                        )
+                    lat.append(time.perf_counter() - t0)
+                    counts[ci] += 1
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
 
         ts = [
             threading.Thread(target=worker, args=(c,))
@@ -161,6 +170,8 @@ def main() -> int:
         [t.start() for t in ts]
         [t.join() for t in ts]
         dt = time.perf_counter() - t0
+        if errors:
+            raise SystemExit(f"measurement invalid, worker errors: {errors[:3]}")
         print(
             json.dumps(
                 {

@@ -227,6 +227,21 @@ class MTCNNDetector:
             )
         if crop_impl not in ("pallas", "matmul"):
             raise ValueError(f"unknown crop_impl {crop_impl!r}")
+        if crop_impl == "pallas":
+            # fail loudly at construction, not with a Mosaic trace error /
+            # silent bf16 downgrade at first detect (mirrors the engine's
+            # align_impl guards, pipeline/engine.py)
+            if jax.default_backend() not in ("tpu", "cpu"):
+                raise ValueError(
+                    f"crop_impl='pallas' needs a TPU backend (or CPU "
+                    f"interpret mode); this process is on "
+                    f"{jax.default_backend()!r} — use 'matmul'"
+                )
+            if dtype != jnp.bfloat16:
+                raise ValueError(
+                    "crop_impl='pallas' computes crops in bfloat16; use "
+                    "dtype=jnp.bfloat16 or crop_impl='matmul'"
+                )
         self.crop_impl = crop_impl
         self.pnet = PNet(dtype=dtype)
         self.rnet = RNet(dtype=dtype)

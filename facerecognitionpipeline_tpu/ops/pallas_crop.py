@@ -97,6 +97,22 @@ def _kernel(
             )
 
 
+#: Conservative per-cell VMEM budget (v5e has ~16 MB/core; leave room for
+#: double-buffering and the compiler's own scratch).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_bytes(img_shape, k: int, g: int) -> int:
+    """Rough per-grid-cell VMEM working set of the kernel."""
+    _, h, w, c = img_shape
+    frame = h * w * c * 2                    # bf16 planar frame, resident
+    wy = g * k * h * 2                       # stacked row weights, bf16
+    wxt = g * w * k * 2                      # per-box col weights, bf16
+    rows = g * k * w * 4                     # f32 rows of the big matmul
+    out = g * c * k * k * 4                  # f32 output block
+    return frame + wy + wxt + rows + out
+
+
 def crop_resize_pallas(
     images: jax.Array,
     boxes: jax.Array,
@@ -113,6 +129,11 @@ def crop_resize_pallas(
     `interpret=None` auto-selects interpreter mode on CPU backends (Mosaic
     only compiles for TPU). `group`: boxes per grid cell (clamped to a
     divisor of N); 8 amortizes cell overhead at the cascade's budgets.
+
+    Frames too large for the kernel's VMEM working set (the whole frame
+    stays resident per grid cell) fall back to the XLA `crop_resize`
+    path with bf16 operands — same numerics, no compile failure at big
+    det sizes.
     """
     single = images.ndim == 3
     if single:
@@ -123,6 +144,15 @@ def crop_resize_pallas(
     g = max(1, min(group, boxes.shape[1]))
     while boxes.shape[1] % g:
         g -= 1
+    if _vmem_bytes(images.shape, out_size, g) > _VMEM_BUDGET_BYTES:
+        from facerecognitionpipeline_tpu.ops.warp import crop_resize
+
+        out = jax.vmap(
+            lambda img, bx: crop_resize(
+                img, bx, out_size, compute_dtype=jnp.bfloat16
+            )
+        )(images, boxes)
+        return out[0] if single else out
     out = _crop_resize_pallas(
         images, boxes, out_size=out_size, interpret=interpret, group=g
     )

@@ -539,7 +539,16 @@ def align_faces_batch_pallas(
     b, f = landmarks.shape[:2]
     mats = similarity_transform(landmarks.reshape(b * f, 5, 2), template)
     boxes, coeffs = warp_coeffs(mats, output_size, output_size, patch_size)
-    patches = crop_resize_pallas(images, boxes.reshape(b, f, 4), patch_size)
+    if compute_dtype == jnp.bfloat16:
+        patches = crop_resize_pallas(images, boxes.reshape(b, f, 4), patch_size)
+    else:
+        # The fused crop kernel is bf16 by design; honor a non-default
+        # compute_dtype (e.g. exact-f32 evals) via the XLA stage A.
+        patches = jax.vmap(
+            lambda img, bx: crop_resize(
+                img, bx, patch_size, compute_dtype=compute_dtype
+            )
+        )(images, boxes.reshape(b, f, 4))
     c = patches.shape[-1]
     out = warp_patches_affine(
         patches.reshape(b * f, patch_size, patch_size, c),

@@ -132,6 +132,31 @@ class DeviceBatcher:
         for t in self._threads:
             t.join(timeout=2.0)
         self._threads = []
+        # Fail any futures stranded in flight (ingress queue, uploaded
+        # groups, the dispatch carry slot) instead of leaving their client
+        # threads blocked in fut.result(timeout=...).
+        err = RuntimeError("DeviceBatcher stopped before this frame ran")
+
+        def _fail(futs):
+            for fut in futs:
+                if not fut.done():
+                    fut.set_exception(err)
+
+        if self._carry is not None:
+            _fail(self._carry[1])
+            self._carry = None
+        while True:
+            try:
+                _, futs = self._ready.get_nowait()
+            except queue.Empty:
+                break
+            _fail(futs)
+        while True:
+            try:
+                _, fut = self._ingress.get_nowait()
+            except queue.Empty:
+                break
+            _fail([fut])
 
     def submit(self, frame: np.ndarray):
         """frame [H,W,3] uint8 at the engine's det_size. Returns a Future
@@ -255,15 +280,18 @@ class DeviceBatcher:
                 b = self._bucket(n)
                 parts = [g[0] for g in groups]
                 if b > n:
-                    pad_shape = (b - n, *parts[0].shape[1:])
+                    # cache ONE single-frame zeros and repeat it: keying a
+                    # cache on the pad COUNT would re-allocate device
+                    # zeros whenever drained sizes fluctuate (n=7, n=5,
+                    # ...) — an extra per-dispatch device op
+                    one = (1, *parts[0].shape[1:])
                     if (
                         self._zero_frame is None
-                        or self._zero_frame.shape != pad_shape
+                        or self._zero_frame.shape != one
+                        or self._zero_frame.dtype != parts[0].dtype
                     ):
-                        self._zero_frame = jnp.zeros(
-                            pad_shape, parts[0].dtype
-                        )
-                    parts.append(self._zero_frame)
+                        self._zero_frame = jnp.zeros(one, parts[0].dtype)
+                    parts.extend([self._zero_frame] * (b - n))
                 # groups arrive pre-stacked on device; one device-side
                 # concat only when several groups or padding combine
                 batch = (

@@ -376,3 +376,28 @@ def test_batcher_never_dispatches_unknown_batch_shape(rng):
     finally:
         batcher.stop()
     assert seen and all(b in batcher.bucket_sizes for b in seen), seen
+
+
+def test_batcher_stop_fails_stranded_futures(rng):
+    """stop() must resolve in-flight futures (ingress/ready/carry) with an
+    error instead of leaving clients blocked in result()."""
+    import queue as _queue
+    from concurrent.futures import Future
+
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    batcher = DeviceBatcher(
+        object(),  # engine never reached
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=2,
+    )
+    # never start threads; enqueue into all three stranding points
+    f_ingress: Future = batcher.submit(np.zeros((4, 4, 3), np.uint8))
+    f_ready: Future = Future()
+    batcher._ready.put((np.zeros((1, 4, 4, 3), np.uint8), [f_ready]))
+    f_carry: Future = Future()
+    batcher._carry = (np.zeros((1, 4, 4, 3), np.uint8), [f_carry])
+    batcher.stop()
+    for f in (f_ingress, f_ready, f_carry):
+        with pytest.raises(RuntimeError, match="stopped"):
+            f.result(timeout=1)
