@@ -401,3 +401,38 @@ def test_batcher_stop_fails_stranded_futures(rng):
     for f in (f_ingress, f_ready, f_carry):
         with pytest.raises(RuntimeError, match="stopped"):
             f.result(timeout=1)
+
+
+def test_batcher_grouped_uploads_preserve_order(rng):
+    """Each future must resolve to ITS OWN frame's result through group
+    stacking, carry, and padding (frame identity echoed via det_scores)."""
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    class EchoEngine:
+        def process_frames(self, frames, templates, valid, gallery_k=3):
+            b = int(frames.shape[0])
+            marker = np.asarray(frames).reshape(b, -1)[:, 0].astype(np.float32)
+            return {
+                "marker": marker,
+                "match_scores": np.zeros((b, 2, gallery_k), np.float32),
+            }
+
+    batcher = DeviceBatcher(
+        EchoEngine(),
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=4,
+        max_wait_ms=15.0,
+    )
+    batcher.start()
+    try:
+        frames = [
+            np.full((4, 4, 3), v, np.uint8) for v in rng.permutation(64)[:11]
+        ]
+        futs = [batcher.submit(f) for f in frames]
+        for f, fut in zip(frames, futs):
+            r = fut.result(timeout=30)
+            assert float(r["marker"]) == float(f[0, 0, 0]), (
+                "future resolved to another frame's slice"
+            )
+    finally:
+        batcher.stop()
