@@ -157,6 +157,14 @@ class DeviceBatcher:
             except queue.Empty:
                 break
             _fail([fut])
+        # Batches whose device step already ran but whose completion stage
+        # never fanned them out are stranded too.
+        while True:
+            try:
+                _, _, futs = self._done.get_nowait()
+            except queue.Empty:
+                break
+            _fail(futs)
 
     def submit(self, frame: np.ndarray):
         """frame [H,W,3] uint8 at the engine's det_size. Returns a Future

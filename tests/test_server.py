@@ -397,8 +397,10 @@ def test_batcher_stop_fails_stranded_futures(rng):
     batcher._ready.put((np.zeros((1, 4, 4, 3), np.uint8), [f_ready]))
     f_carry: Future = Future()
     batcher._carry = (np.zeros((1, 4, 4, 3), np.uint8), [f_carry])
+    f_done: Future = Future()
+    batcher._done.put(({"match_scores": np.zeros((1, 2, 3))}, None, [f_done]))
     batcher.stop()
-    for f in (f_ingress, f_ready, f_carry):
+    for f in (f_ingress, f_ready, f_carry, f_done):
         with pytest.raises(RuntimeError, match="stopped"):
             f.result(timeout=1)
 
