@@ -33,6 +33,20 @@ import jax
 import numpy as np
 
 
+def _fail_futures(futs, err: BaseException) -> None:
+    """Set `err` on every unresolved future, tolerating races: stop() and a
+    stage thread may both try to fail the same future (done() checks are
+    TOCTOU against another setter)."""
+    from concurrent.futures import InvalidStateError
+
+    for fut in futs:
+        if not fut.done():
+            try:
+                fut.set_exception(err)
+            except InvalidStateError:
+                pass
+
+
 class _LazySlice:
     """Zero-dispatch view of a slice of a device-resident batch tensor.
 
@@ -136,11 +150,7 @@ class DeviceBatcher:
         # groups, the dispatch carry slot) instead of leaving their client
         # threads blocked in fut.result(timeout=...).
         err = RuntimeError("DeviceBatcher stopped before this frame ran")
-
-        def _fail(futs):
-            for fut in futs:
-                if not fut.done():
-                    fut.set_exception(err)
+        _fail = lambda futs: _fail_futures(futs, err)  # noqa: E731
 
         if self._carry is not None:
             _fail(self._carry[1])
@@ -168,11 +178,22 @@ class DeviceBatcher:
 
     def submit(self, frame: np.ndarray):
         """frame [H,W,3] uint8 at the engine's det_size. Returns a Future
-        resolving to this frame's slice of the engine output (host arrays)."""
+        resolving to this frame's slice of the engine output (host arrays).
+
+        Safe to race with stop(): a submit that lands after shutdown fails
+        its future immediately instead of stranding the caller — stop()'s
+        queue drain cannot see an entry enqueued after the drain ran."""
         from concurrent.futures import Future
 
         fut: Future = Future()
+        err = RuntimeError("DeviceBatcher stopped before this frame ran")
+        if self._stop.is_set():
+            fut.set_exception(err)
+            return fut
         self._ingress.put((frame, fut))
+        if self._stop.is_set():
+            # raced with stop(): its drain may already have passed this entry
+            _fail_futures([fut], err)
         return fut
 
     def warmup(self, det_size: tuple[int, int]) -> None:
@@ -222,11 +243,20 @@ class DeviceBatcher:
                 futs.append(u2)
             try:
                 dev = jax.device_put(np.stack(frames))
-                self._ready.put((dev, futs))
+                if self._stop.is_set():
+                    # stop()'s drain may already have swept _ready (e.g. this
+                    # upload outlived the 2 s thread join); dispatch will
+                    # never run, so fail these futures rather than strand them
+                    _fail_futures(
+                        futs,
+                        RuntimeError(
+                            "DeviceBatcher stopped before this frame ran"
+                        ),
+                    )
+                else:
+                    self._ready.put((dev, futs))
             except Exception as e:
-                for u in futs:
-                    if not u.done():
-                        u.set_exception(e)
+                _fail_futures(futs, e)
 
     # ------------------------------------------------------------- stage 2
 
@@ -316,9 +346,7 @@ class DeviceBatcher:
                 # overlaps this step's device compute
                 self._done.put((out, gallery_ids, items))
             except Exception as e:
-                for fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                _fail_futures(items, e)
 
     # ------------------------------------------------------------- stage 3
 
@@ -357,6 +385,4 @@ class DeviceBatcher:
                         result["gallery_ids"] = gallery_ids
                     fut.set_result(result)
             except Exception as e:
-                for fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                _fail_futures(items, e)

@@ -333,6 +333,10 @@ class FaceRecognitionServer:
         self, frame_rgb: np.ndarray, frame_count: int, timestamp: str
     ) -> Dict:
         """Full pipeline for one client frame (server:586-739 equivalent)."""
+        # Stamp the request BEFORE letterbox/colorspace prep: that host work
+        # is several ms on this one-core host and belongs in the reported
+        # per-request timings (round-2 numbers measured it; keep the basis).
+        timings = self.perf_monitor.start_request() if self.perf_monitor else None
         canvas, scale = self._letterbox(frame_rgb)
         if self.transport == "i420":
             from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
@@ -345,6 +349,7 @@ class FaceRecognitionServer:
             crop_scale=scale,
             frame_count=frame_count,
             timestamp=timestamp,
+            timings=timings,
         )
 
     def process_raw_frame(
@@ -361,6 +366,10 @@ class FaceRecognitionServer:
         straight off the wire — see rawproto.py). Face crops are taken from
         the detection canvas (the client keeps its own full-res original)."""
         from facerecognitionpipeline_tpu.serve import rawproto
+
+        # Stamp before validation/frombuffer/colorspace prep — same timing
+        # basis as process_full_frame.
+        timings = self.perf_monitor.start_request() if self.perf_monitor else None
 
         dh, dw = self.det_size
         if (height, width) != (dh, dw):
@@ -410,6 +419,7 @@ class FaceRecognitionServer:
             crop_scale=1.0,
             frame_count=frame_count,
             timestamp=timestamp,
+            timings=timings,
         )
 
     def _process_canvas(
@@ -420,14 +430,18 @@ class FaceRecognitionServer:
         crop_scale: float,
         frame_count: int,
         timestamp: str,
+        timings=None,
     ) -> Dict:
         """Device dispatch + tracking for one prepared detection canvas.
 
         `crop_frame()` lazily yields the RGB image crops are cut from;
         `crop_scale` maps canvas-space bboxes into that image's coordinates
         (the letterbox scale for full-resolution client frames, 1.0 when
-        cropping from the canvas itself)."""
-        timings = self.perf_monitor.start_request() if self.perf_monitor else None
+        cropping from the canvas itself). `timings` is the request timing
+        handle stamped by the caller BEFORE frame prep (letterbox/colorspace
+        conversion count toward the reported per-request time)."""
+        if timings is None and self.perf_monitor:
+            timings = self.perf_monitor.start_request()
         self.frame_count = frame_count
 
         # device work is batched across threads; everything after the result
@@ -822,13 +836,18 @@ def make_handler(server: FaceRecognitionServer):
                     # imdecode — metadata rides in headers (rawproto.py)
                     from facerecognitionpipeline_tpu.serve import rawproto
 
+                    # ALWAYS consume the (megabyte) body, even on early 400s:
+                    # responding with unread bytes on the socket desyncs
+                    # HTTP/1.1 keep-alive — the next request line would be
+                    # parsed out of this frame's pixels.
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = self.rfile.read(length) if length else b""
                     if server.session_name is None:
                         self._json(
                             {"error": "No active session. Call /init_session first"},
                             400,
                         )
                         return
-                    length = int(self.headers.get("Content-Length", 0))
                     fmt = self.headers.get(rawproto.HEADER_FORMAT, "")
                     if fmt not in rawproto.RAW_FORMATS:
                         self._json(
@@ -840,7 +859,7 @@ def make_handler(server: FaceRecognitionServer):
                         )
                         return
                     result = server.process_raw_frame(
-                        self.rfile.read(length),
+                        payload,
                         fmt,
                         int(self.headers.get(rawproto.HEADER_WIDTH, 0)),
                         int(self.headers.get(rawproto.HEADER_HEIGHT, 0)),

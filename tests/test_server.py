@@ -405,6 +405,57 @@ def test_batcher_stop_fails_stranded_futures(rng):
             f.result(timeout=1)
 
 
+def test_raw_transport_400_drains_body_on_keepalive(server, rng):
+    """Early 400s on /process_frame_raw must still consume the octet-stream
+    body: on an HTTP/1.1 keep-alive connection, unread frame bytes would be
+    parsed as the NEXT request line, corrupting every subsequent request."""
+    from facerecognitionpipeline_tpu.serve import rawproto
+
+    srv, url, tmp_path = server
+    sess = requests.Session()
+    sess.post(f"{url}/init_session", json={"session_name": "rawka"}, timeout=10)
+    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    canvas, scale = rawproto.letterbox_rgb(frame, (640, 640))
+    payload = np.ascontiguousarray(canvas).tobytes()  # ~1.2 MB
+
+    def headers(fmt):
+        return {
+            "Content-Type": "application/octet-stream",
+            rawproto.HEADER_FORMAT: fmt,
+            rawproto.HEADER_WIDTH: "640",
+            rawproto.HEADER_HEIGHT: "640",
+            rawproto.HEADER_SCALE: repr(scale),
+            rawproto.HEADER_COUNT: "1",
+        }
+
+    # bad format -> 400 with a megabyte body on the wire
+    r = sess.post(f"{url}/process_frame_raw", data=payload,
+                  headers=headers("bgr"), timeout=10)
+    assert r.status_code == 400
+    # the SAME connection must still serve a valid request
+    r = sess.post(f"{url}/process_frame_raw", data=payload,
+                  headers=headers("rgb24"), timeout=30)
+    assert r.status_code == 200, r.text[:200]
+    assert r.json()["faces_detected"] == 1
+
+
+def test_batcher_submit_after_stop_fails_fast(rng):
+    """A submit that races past stop() must fail its future immediately, not
+    strand the caller in result(timeout=...) with no stage threads alive."""
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    batcher = DeviceBatcher(
+        object(),  # engine never reached
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=2,
+    )
+    batcher.start()
+    batcher.stop()
+    fut = batcher.submit(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=1)
+
+
 def test_batcher_grouped_uploads_preserve_order(rng):
     """Each future must resolve to ITS OWN frame's result through group
     stacking, carry, and padding (frame identity echoed via det_scores)."""
