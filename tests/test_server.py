@@ -439,6 +439,29 @@ def test_raw_transport_400_drains_body_on_keepalive(server, rng):
     assert r.json()["faces_detected"] == 1
 
 
+def test_lazy_slice_views(rng):
+    """_LazySlice: indexing is zero-dispatch bookkeeping; materialization
+    yields exactly the requested slice with dtype/shape fidelity."""
+    import jax.numpy as jnp
+
+    from facerecognitionpipeline_tpu.serve.batcher import _LazySlice
+
+    host = rng.standard_normal((4, 3, 8)).astype(np.float32)
+    dev = jnp.asarray(host)
+    view = _LazySlice(dev)
+    assert view.shape == (4, 3, 8) and view.dtype == dev.dtype
+    sub = view[2]
+    assert sub.shape == (3, 8)
+    np.testing.assert_array_equal(np.asarray(sub), host[2])
+    nested = view[1][0]
+    assert nested.shape == (8,)
+    np.testing.assert_array_equal(np.asarray(nested), host[1][0])
+    # dtype-converting materialization (np.asarray(x, dtype=...))
+    np.testing.assert_allclose(
+        np.asarray(view[3], dtype=np.float64), host[3].astype(np.float64)
+    )
+
+
 def test_batcher_submit_after_stop_fails_fast(rng):
     """A submit that races past stop() must fail its future immediately, not
     strand the caller in result(timeout=...) with no stage threads alive."""
