@@ -21,8 +21,42 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _backend_watchdog(timeout_s: float = 180.0) -> None:
+    """Fail FAST (one diagnostic JSON line) when backend init is dead.
+
+    A downed device tunnel can hang `jax.devices()` indefinitely (observed:
+    25 min before erroring UNAVAILABLE); probe it in a bounded subprocess so
+    a driver-run bench reports a clear infrastructure error instead of
+    hanging until killed. Normal init is seconds, so 180 s never trips on a
+    healthy (even slow) tunnel."""
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        ok = probe.returncode == 0 and probe.stdout.strip()
+        detail = probe.stderr.strip().splitlines()[-1:] if not ok else []
+    except subprocess.TimeoutExpired:
+        ok, detail = False, [f"backend init exceeded {timeout_s:.0f}s watchdog"]
+    if not ok:
+        print(json.dumps({
+            "metric": "faces/sec/chip detect+align+embed+match (ir_101, bf16)",
+            "value": None,
+            "unit": "faces/sec",
+            "vs_baseline": None,
+            "error": "device backend unavailable (tunnel down?): "
+                     + "; ".join(detail),
+        }))
+        sys.exit(1)
+
+
 def main() -> None:
     import os
+
+    _backend_watchdog()
 
     import jax  # noqa: F401
 
