@@ -106,6 +106,8 @@ def main() -> int:
     p.add_argument("--image_format",
                    choices=("png", "jpeg", "raw", "raw-i420"), default="png")
     p.add_argument("--transport", choices=("rgb", "i420"), default="rgb")
+    p.add_argument("--embed_budget", type=int, default=None,
+                   help="per-frame embed budget (see server --embed_budget)")
     args = p.parse_args()
 
     from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
@@ -139,6 +141,7 @@ def main() -> int:
         batch_max=args.batch_max,
         max_faces=16,
         transport=args.transport,
+        embed_budget=args.embed_budget,
     )
     httpd = serve(srv, host="127.0.0.1", port=0)
     port = httpd.server_address[1]
@@ -164,6 +167,7 @@ def main() -> int:
             result = run_clients(url, n, args.seconds, payloads)
             result["image_format"] = args.image_format
             result["transport"] = args.transport
+            result["embed_budget"] = args.embed_budget
             result["baseline_req_per_sec"] = 1.33
             result["vs_baseline"] = round(result["req_per_sec"] / 1.33, 2)
             print(json.dumps(result), flush=True)

@@ -47,6 +47,7 @@ class RecognitionEngine:
         align_patch: int = 128,
         align_chunk: int = 8,
         input_format: str = "rgb",
+        embed_budget: Optional[int] = None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
         batch shards across it (multi-chip serving: weights/gallery
@@ -69,7 +70,32 @@ class RecognitionEngine:
         input_format: 'rgb' (frames [B,H,W,3] uint8) or 'i420' (frames
         [B, H*3//2, W] uint8 planar YUV, converted to RGB ON DEVICE —
         halves host->device bytes per frame, the serving ceiling on
-        bandwidth-constrained links; see ops/image.i420_to_rgb)."""
+        bandwidth-constrained links; see ops/image.i420_to_rgb).
+
+        embed_budget: None (default) embeds EVERY face slot — B*max_faces
+        backbone forwards per step, the honest fixed-shape worst case. An
+        int K <= max_faces compacts per frame: the K highest-det_score
+        slots that pass detection validity AND the quality gate are
+        gathered (static shapes — this is the TPU-idiomatic sparse path),
+        embedded and matched, and results scatter back into the [B, F]
+        layout. Real camera traffic rarely fills 32 slots, and the
+        backbone is ~84% of the fused step (PERFORMANCE.md), so serving
+        with a budget sized to the realistic per-frame face count cuts
+        step time several-fold. Slots outside the budget (or failing the
+        gate) report embedded=False with zero embeddings and match score
+        -1; consumers must gate on the result's "embedded" mask (the
+        server treats them as detected-but-not-recognized this frame and
+        the track retries). Per-frame (not cross-batch) compaction keeps
+        the step shardable over a 'data' mesh axis.
+
+        Budget fairness: selection is det-score-ranked, which on a static
+        scene would pick the SAME faces every step and starve the rest
+        forever. The step therefore takes a `rotation` scalar (a traced
+        input — no recompile as it changes) that slides the K-wide budget
+        window over the det-ranked eligible slots: rotation=0 is exactly
+        top-K-by-det; each increment advances the window by K, so every
+        eligible face is embedded within ceil(n_eligible/K) steps. The
+        serving batcher passes its dispatch counter."""
         self.detector = detector
         self.embedder = embedder
         self.quality_config = quality_config or QualityConfig(
@@ -91,6 +117,18 @@ class RecognitionEngine:
         self.align_impl = align_impl
         self.align_patch = align_patch
         self.align_chunk = align_chunk
+        if embed_budget is not None:
+            max_faces = getattr(detector, "max_faces", None)
+            if embed_budget < 1 or (
+                max_faces is not None and embed_budget > max_faces
+            ):
+                raise ValueError(
+                    f"embed_budget={embed_budget} must be in [1, "
+                    f"max_faces={max_faces}]"
+                )
+            if max_faces is not None and embed_budget == max_faces:
+                embed_budget = None  # full budget == the dense path
+        self.embed_budget = embed_budget
         if input_format not in ("rgb", "i420"):
             raise ValueError(f"unknown input_format {input_format!r}")
         if input_format == "i420":
@@ -162,6 +200,7 @@ class RecognitionEngine:
         templates_valid,
         frames,
         gallery_k,
+        rotation=0,
     ):
         """frames (raw RGB [B,H,W,3] or planar I420 [B,H*3//2,W], per
         `input_format`) -> everything, no host round-trips."""
@@ -203,17 +242,86 @@ class RecognitionEngine:
         ok, metrics = jax.vmap(self._per_frame_quality)(det, aligned)
         b, f = aligned.shape[:2]
 
-        # One backbone forward for every face slot of every frame.
         x = normalize_face_batch(
-            aligned.reshape(b * f, self.align_size, self.align_size, 3),
-            dtype=self.embedder._dtype,
-        )
-        feats, norms = self.embedder.model.apply(emb_vars, x)
-        feats = feats.reshape(b, f, -1)
+            aligned, dtype=self.embedder._dtype
+        )  # [B, F, S, S, 3]
+        if self.embed_budget is None:
+            # One backbone forward for every face slot of every frame.
+            feats, norms = self.embedder.model.apply(
+                emb_vars, x.reshape(b * f, self.align_size, self.align_size, 3)
+            )
+            feats = feats.reshape(b, f, -1)
+            norms = norms.reshape(b, f)
+            embedded = jnp.ones((b, f), dtype=bool)
+            scores, idx = cosine_topk(
+                feats.reshape(b * f, -1), templates, templates_valid, gallery_k
+            )
+            scores = scores.reshape(b, f, gallery_k)
+            idx = idx.reshape(b, f, gallery_k)
+        else:
+            # Compacted path: per frame, gather the K best eligible slots
+            # (valid AND quality-ok, ranked by det score), embed/match only
+            # those, scatter back. All shapes static; the gather indices of
+            # a frame stay within that frame, so a 'data'-sharded batch
+            # never needs cross-device collectives here.
+            kb = self.embed_budget
+            elig = det["valid"] & ok  # [B, F]
+            det_f = det["scores"].astype(jnp.float32)
+            # Per-frame det-descending rank among ELIGIBLE slots (lower-index
+            # tie-break): r_i = #{eligible j ordered before i}. O(F^2) bools —
+            # trivial at F<=32 and avoids argsort-of-argsort.
+            ii = jnp.arange(f)
+            before = (det_f[:, None, :] > det_f[:, :, None]) | (
+                (det_f[:, None, :] == det_f[:, :, None])
+                & (ii[None, None, :] < ii[None, :, None])
+            )  # [B, i, j]: eligible j precedes i in the det ordering
+            before &= elig[:, None, :]
+            r = jnp.sum(before, axis=2)  # [B, F]
+            n_elig = jnp.sum(elig, axis=1, keepdims=True)
+            # Slide the K-wide window by `rotation` steps (mod n) so a static
+            # scene cycles its faces through the budget instead of starving
+            # the lower-ranked ones. rotation=0 == plain top-K-by-det.
+            rot = jnp.asarray(rotation, jnp.int32)
+            shift = jnp.mod(r - rot * kb, jnp.maximum(n_elig, 1))
+            key = jnp.where(elig, -shift.astype(jnp.float32), -1e9)
+            top_s, sel = jax.lax.top_k(key, kb)  # [B, kb]
+            sel_ok = top_s > -1e8  # selected slot is genuinely eligible
+            xs = jnp.take_along_axis(
+                x, sel[:, :, None, None, None], axis=1
+            )  # [B, kb, S, S, 3]
+            feats_k, norms_k = self.embedder.model.apply(
+                emb_vars,
+                xs.reshape(b * kb, self.align_size, self.align_size, 3),
+            )
+            d = feats_k.shape[-1]
+            feats_k = feats_k.reshape(b, kb, d) * sel_ok[:, :, None]
+            norms_k = norms_k.reshape(b, kb) * sel_ok
+            sc_k, ix_k = cosine_topk(
+                feats_k.reshape(b * kb, d), templates, templates_valid,
+                gallery_k,
+            )
+            sc_k = jnp.where(
+                sel_ok[:, :, None], sc_k.reshape(b, kb, gallery_k), -1.0
+            )
+            ix_k = jnp.where(
+                sel_ok[:, :, None], ix_k.reshape(b, kb, gallery_k), 0
+            )
 
-        scores, idx = cosine_topk(
-            feats.reshape(b * f, -1), templates, templates_valid, gallery_k
-        )
+            # Scatter the compacted results into the [B, F] slot layout
+            # (top_k indices are distinct within a frame, so .at[].set is
+            # race-free; unselected slots keep the canvas fill value).
+            scat = jax.vmap(lambda cv, s, u: cv.at[s].set(u))
+            feats = scat(jnp.zeros((b, f, d), feats_k.dtype), sel, feats_k)
+            norms = scat(jnp.zeros((b, f), norms_k.dtype), sel, norms_k)
+            embedded = scat(
+                jnp.zeros((b, f), dtype=bool), sel, sel_ok
+            )
+            scores = scat(
+                jnp.full((b, f, gallery_k), -1.0, sc_k.dtype), sel, sc_k
+            )
+            idx = scat(
+                jnp.zeros((b, f, gallery_k), ix_k.dtype), sel, ix_k
+            )
         return {
             "bboxes": det["bboxes"],
             "det_scores": det["scores"],
@@ -226,10 +334,13 @@ class RecognitionEngine:
             # 37.5 KB u8 per face — the link is the serving ceiling on
             # tunneled hosts, see PERFORMANCE.md)
             "aligned": aligned.astype(jnp.uint8),
+            # which slots actually got a backbone forward this step (all of
+            # them on the dense path; the budget's selection otherwise)
+            "embedded": embedded,
             "embeddings": feats,
-            "embedding_norms": norms.reshape(b, f),
-            "match_scores": scores.reshape(b, f, gallery_k),
-            "match_idx": idx.reshape(b, f, gallery_k),
+            "embedding_norms": norms,
+            "match_scores": scores,
+            "match_idx": idx,
         }
 
     # ---------------------------------------------------------------- host API
@@ -240,10 +351,15 @@ class RecognitionEngine:
         gallery_templates: jax.Array,
         gallery_valid: jax.Array,
         gallery_k: Optional[int] = None,
+        rotation: int = 0,
     ) -> dict:
         """Host entry -> device result dict. Expected frame shape depends on
         the engine's input_format: [B,H,W,3] uint8 for 'rgb', [B,H*3//2,W]
-        uint8 planar YUV for 'i420' (see `host_frame_shape`)."""
+        uint8 planar YUV for 'i420' (see `host_frame_shape`).
+
+        rotation: embed-budget fairness counter (any monotonically varying
+        int, e.g. the batcher's dispatch count); traced, so changing it
+        never recompiles. Ignored without an embed_budget."""
         # Cold compiles through a remote tunnel can take minutes; say so
         # instead of looking like a stalled request. Keyed on every jit
         # cache axis that varies in practice (frame shape, gallery padding,
@@ -271,4 +387,5 @@ class RecognitionEngine:
             gallery_valid,
             jnp.asarray(frames),
             gallery_k=gallery_k or self.top_k,
+            rotation=jnp.asarray(rotation, jnp.int32),
         )

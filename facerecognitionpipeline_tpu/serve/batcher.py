@@ -126,6 +126,10 @@ class DeviceBatcher:
         self._threads: list[threading.Thread] = []
         self._zero_frame = None
         self._carry = None  # overflow group held for the next dispatch
+        # embed-budget fairness: the engine slides its per-frame budget
+        # window by this counter so a static scene cycles faces through
+        # the budget (traced input — no recompile as it changes)
+        self._dispatch_count = 0
 
     # ----------------------------------------------------------- lifecycle
 
@@ -338,8 +342,15 @@ class DeviceBatcher:
                 snapshot = self.gallery_provider()
                 templates, valid = snapshot[0], snapshot[1]
                 gallery_ids = snapshot[2] if len(snapshot) > 2 else None
+                self._dispatch_count += 1
+                kwargs = {}
+                if getattr(self.engine, "embed_budget", None) is not None:
+                    # budget fairness: slide the engine's per-frame budget
+                    # window each dispatch (dense engines — and engine
+                    # stand-ins in tests — don't take the kwarg)
+                    kwargs["rotation"] = self._dispatch_count
                 out = self.engine.process_frames(
-                    batch, templates, valid, gallery_k=self.top_k
+                    batch, templates, valid, gallery_k=self.top_k, **kwargs
                 )
                 # async dispatch: hand to the completion stage WITHOUT
                 # blocking, so the next batch's drain/stack/dispatch

@@ -49,6 +49,7 @@ class LiveFaceRecognition:
         display: bool = True,
         auto_snapshot_interval: float = 0.0,
         core: Optional[FaceRecognitionServer] = None,
+        embed_budget: Optional[int] = None,
     ):
         self.core = core or FaceRecognitionServer(
             gallery_path=gallery_path,
@@ -60,6 +61,7 @@ class LiveFaceRecognition:
             recognition_interval=recognition_interval,
             max_recognition_attempts=max_attempts,
             tracker_mode="live",
+            embed_budget=embed_budget,
         )
         self.session_name = session_name or datetime.now().strftime(
             "live_%Y%m%d_%H%M%S"
@@ -200,6 +202,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--no_display", action="store_true")
     p.add_argument("--auto_snapshot_interval", type=float, default=0.0)
+    p.add_argument("--embed_budget", type=int, default=None,
+                   help="per-frame embed budget (see server --embed_budget)")
     return p
 
 
@@ -222,6 +226,7 @@ def main(argv=None) -> int:
         max_frames=args.max_frames,
         display=not args.no_display,
         auto_snapshot_interval=args.auto_snapshot_interval,
+        embed_budget=args.embed_budget,
     )
     return app.run()
 

@@ -125,6 +125,7 @@ class FaceRecognitionServer:
         batch_buckets: Optional[tuple[int, ...]] = None,
         transport: str = "rgb",
         tracker_mode: str = "server",
+        embed_budget: Optional[int] = None,
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights/gallery
@@ -137,7 +138,13 @@ class FaceRecognitionServer:
         transport: 'rgb' uploads [H,W,3] frames to the device; 'i420'
         converts to planar YUV 4:2:0 on the host (cv2 native) and converts
         back to RGB on device — HALF the host->device bytes per frame,
-        which is the serving ceiling on bandwidth-constrained links."""
+        which is the serving ceiling on bandwidth-constrained links.
+        embed_budget: embed/match only the K best quality-passing faces
+        per frame instead of every one of the max_faces slots — the
+        backbone is ~84% of the fused step, so a budget sized to the
+        realistic per-frame face count cuts device time several-fold
+        (RecognitionEngine docstring). Faces beyond the budget are still
+        detected/tracked; recognition for them retries on later frames."""
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
         self.model_type = model_type
@@ -191,6 +198,7 @@ class FaceRecognitionServer:
                 top_k=3,
                 mesh=mesh,
                 input_format=transport,
+                embed_budget=embed_budget,
             )
         self.engine = engine
         engine_format = getattr(engine, "input_format", "rgb")
@@ -461,14 +469,24 @@ class FaceRecognitionServer:
             canvas_bbox = np.asarray(result["bboxes"][i])
             bbox = canvas_bbox / scale  # client/original coordinates
             matches = []
-            for k in range(result["match_scores"].shape[-1]):
-                idx = int(result["match_idx"][i, k])
-                sid = gallery_ids[idx] if 0 <= idx < len(gallery_ids) else None
-                if sid is None:
-                    continue
-                rec = self.gallery.get_student(sid)
-                name = rec.name if rec is not None else sid
-                matches.append((sid, name, float(result["match_scores"][i, k])))
+            # Under an engine embed_budget, a face past the per-frame budget
+            # is detected/tracked but carries no embedding this step — leave
+            # its matches empty so the track simply retries next frame.
+            embedded_mask = result.get("embedded")
+            if embedded_mask is None or embedded_mask[i]:
+                for k in range(result["match_scores"].shape[-1]):
+                    idx = int(result["match_idx"][i, k])
+                    sid = (
+                        gallery_ids[idx]
+                        if 0 <= idx < len(gallery_ids) else None
+                    )
+                    if sid is None:
+                        continue
+                    rec = self.gallery.get_student(sid)
+                    name = rec.name if rec is not None else sid
+                    matches.append(
+                        (sid, name, float(result["match_scores"][i, k]))
+                    )
             faces.append(
                 {
                     "bbox": bbox,
@@ -974,6 +992,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Max frames coalesced into one device step")
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
     p.add_argument("--max_faces", type=int, default=16)
+    p.add_argument("--embed_budget", type=int, default=None,
+                   help="embed/match only the K best quality-passing faces "
+                        "per frame (default: every max_faces slot); the "
+                        "backbone dominates the fused step, so a budget "
+                        "sized to realistic per-frame face counts cuts "
+                        "device time several-fold")
     p.add_argument("--mesh_data", type=int, default=None,
                    help="Shard the fused step data-parallel over this many "
                         "devices (batch_max must be a multiple)")
@@ -1010,6 +1034,7 @@ def main(argv=None) -> int:
         max_faces=args.max_faces,
         mesh_data=args.mesh_data,
         transport=args.transport,
+        embed_budget=args.embed_budget,
     )
     httpd = serve(server, args.host, args.port)
     try:

@@ -298,7 +298,14 @@ class LiveRecognitionTracker:
         buffer = self.track_frame_buffers.get(track_id)
         if not buffer:
             return None
-        return max(buffer, key=self._frame_quality)
+        # Prefer frames that carry gallery matches: under an engine
+        # embed_budget a buffered frame may be detected-but-not-embedded
+        # (empty match list), and picking it would stall the track's
+        # recognition until it ages out of the deque. Without a budget all
+        # frames carry matches (or none do, e.g. empty gallery) and this is
+        # exactly the reference best-of-buffer rule.
+        with_match = [f for f in buffer if f.get("match")]
+        return max(with_match or buffer, key=self._frame_quality)
 
     def mark_recognized(self, track_id: int, student_info: Dict) -> None:
         self.recognized_tracks[track_id] = student_info

@@ -1,0 +1,235 @@
+"""Engine embed_budget: compacted embed/match equals the dense path.
+
+The compacted path gathers the K best eligible (valid AND quality-ok) face
+slots per frame, embeds/matches only those, and scatters results back into
+the [B, F] layout with an `embedded` mask. These tests pin:
+
+* full-coverage budgets reproduce the dense engine bit-for-bit on every
+  eligible slot;
+* under-budget selection picks exactly the top-det_score eligible slots;
+* non-embedded slots report zero embeddings / -1 match scores /
+  embedded=False;
+* budget == max_faces collapses to the dense path;
+* constructor validation.
+"""
+
+import numpy as np
+import pytest
+
+from facerecognitionpipeline_tpu.gallery.search import DeviceGallery
+from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
+from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
+
+
+@pytest.fixture(scope="module")
+def parts():
+    detector = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
+    embedder = FaceEmbedder(architecture="ir_micro")
+    return detector, embedder
+
+
+@pytest.fixture(scope="module")
+def gallery():
+    r = np.random.default_rng(7)
+    dg = DeviceGallery()
+    t = r.normal(size=(6, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    dg.rebuild([f"id{i}" for i in range(6)], t)
+    return dg
+
+
+def _expected_selection(dense_out, budget):
+    """Per-frame top-`budget` eligible slots by det score (the engine's
+    ranking rule), computed on host from the dense engine's outputs."""
+    valid = np.asarray(dense_out["face_valid"])
+    ok = np.asarray(dense_out["quality_ok"])
+    det = np.asarray(dense_out["det_scores"], np.float64)
+    elig = valid & ok
+    b, f = elig.shape
+    expected = np.zeros((b, f), bool)
+    for i in range(b):
+        rank = np.where(elig[i], det[i], -1.0)
+        # stable top-k with lower-index tie-break, matching jax.lax.top_k
+        order = np.lexsort((np.arange(f), -rank))[:budget]
+        for j in order:
+            if rank[j] > -0.5:
+                expected[i, j] = True
+    return expected
+
+
+def test_budget_matches_dense_on_embedded_slots(parts, gallery, rng):
+    detector, embedder = parts
+    dense = RecognitionEngine(detector, embedder, top_k=2)
+    budget = RecognitionEngine(detector, embedder, top_k=2, embed_budget=2)
+
+    frames = rng.integers(0, 256, size=(3, 160, 160, 3), dtype=np.uint8)
+    a = dense.process_frames(frames, gallery._templates, gallery._valid, 2)
+    b = budget.process_frames(frames, gallery._templates, gallery._valid, 2)
+
+    expected = _expected_selection(a, 2)
+    embedded = np.asarray(b["embedded"])
+    np.testing.assert_array_equal(embedded, expected)
+
+    # detection/alignment/quality are untouched by the budget
+    np.testing.assert_array_equal(
+        np.asarray(a["face_valid"]), np.asarray(b["face_valid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["quality_ok"]), np.asarray(b["quality_ok"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["aligned"], np.float32),
+        np.asarray(b["aligned"], np.float32),
+        atol=0,
+    )
+
+    ea = np.asarray(a["embeddings"])
+    eb = np.asarray(b["embeddings"])
+    sa = np.asarray(a["match_scores"])
+    sb = np.asarray(b["match_scores"])
+    ia = np.asarray(a["match_idx"])
+    ib = np.asarray(b["match_idx"])
+    na = np.asarray(a["embedding_norms"])
+    nb = np.asarray(b["embedding_norms"])
+
+    # embedded slots reproduce the dense engine (backbone is per-sample
+    # independent in inference mode, so batch composition doesn't matter)
+    np.testing.assert_allclose(ea[expected], eb[expected], atol=1e-5)
+    np.testing.assert_allclose(na[expected], nb[expected], atol=1e-4)
+    np.testing.assert_allclose(sa[expected], sb[expected], atol=1e-5)
+    np.testing.assert_array_equal(ia[expected], ib[expected])
+
+    # non-embedded slots are explicit: zero embeddings, -1 scores
+    not_emb = ~expected
+    assert np.all(eb[not_emb] == 0)
+    assert np.all(nb[not_emb] == 0)
+    assert np.all(sb[not_emb] == -1.0)
+    assert np.all(ib[not_emb] == 0)
+
+
+def test_full_budget_covers_every_eligible_slot(parts, gallery, rng):
+    detector, embedder = parts
+    dense = RecognitionEngine(detector, embedder, top_k=2)
+    budget = RecognitionEngine(detector, embedder, top_k=2, embed_budget=3)
+
+    frames = rng.integers(0, 256, size=(2, 160, 160, 3), dtype=np.uint8)
+    a = dense.process_frames(frames, gallery._templates, gallery._valid, 2)
+    elig = np.asarray(a["face_valid"]) & np.asarray(a["quality_ok"])
+    if elig.sum(axis=1).max() > 3:
+        pytest.skip("random frames produced >3 eligible faces in a frame")
+
+    b = budget.process_frames(frames, gallery._templates, gallery._valid, 2)
+    embedded = np.asarray(b["embedded"])
+    # with headroom, embedded == eligible exactly
+    np.testing.assert_array_equal(embedded, elig)
+    np.testing.assert_allclose(
+        np.asarray(a["embeddings"])[elig],
+        np.asarray(b["embeddings"])[elig],
+        atol=1e-5,
+    )
+
+
+def test_budget_equal_to_max_faces_is_dense(parts):
+    detector, embedder = parts
+    eng = RecognitionEngine(detector, embedder, embed_budget=4)
+    assert eng.embed_budget is None  # collapses to the dense path
+
+
+def test_dense_engine_reports_all_embedded(parts, gallery, rng):
+    detector, embedder = parts
+    dense = RecognitionEngine(detector, embedder, top_k=2)
+    frames = rng.integers(0, 256, size=(1, 160, 160, 3), dtype=np.uint8)
+    out = dense.process_frames(frames, gallery._templates, gallery._valid, 2)
+    assert np.asarray(out["embedded"]).all()
+
+
+def test_budget_validation(parts):
+    detector, embedder = parts
+    with pytest.raises(ValueError):
+        RecognitionEngine(detector, embedder, embed_budget=0)
+    with pytest.raises(ValueError):
+        RecognitionEngine(detector, embedder, embed_budget=5)
+
+
+def test_rotation_cycles_budget_over_eligible_faces(parts, gallery, rng):
+    """Fairness: on a STATIC scene, advancing `rotation` slides the budget
+    window so every eligible face is embedded within ceil(n/K) steps —
+    without it, top-det selection would starve lower-scored faces forever
+    (found by the serving drive: budget=1 never recognized the 2nd face)."""
+    import os
+
+    from facerecognitionpipeline_tpu.ops.quality import QualityConfig
+    from facerecognitionpipeline_tpu.train.detector_train import (
+        make_identity,
+        render_identity_scene,
+    )
+
+    weights = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pretrained", "mtcnn_synthetic.npz",
+    )
+    if not os.path.exists(weights):
+        pytest.skip("trained detector weights not present")
+    _, embedder = parts
+    detector = MTCNNDetector(
+        det_size=(160, 160), max_faces=4, min_face_size=20,
+        weights_path=weights, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+    qc = QualityConfig(min_det_score=0.5, min_face_size=15, max_yaw=90,
+                       max_pitch=90, max_roll=90, check_blur=False)
+    dense = RecognitionEngine(detector, embedder, top_k=2, quality_config=qc)
+    budget = RecognitionEngine(
+        detector, embedder, top_k=2, quality_config=qc, embed_budget=1
+    )
+
+    scene, boxes, _, _ = render_identity_scene(
+        [make_identity(3), make_identity(7)], np.random.default_rng(4),
+        size=160,
+    )
+    assert len(boxes) == 2
+    frames = scene[None]
+    a = dense.process_frames(frames, gallery._templates, gallery._valid, 2)
+    elig = np.asarray(a["face_valid"]) & np.asarray(a["quality_ok"])
+    assert elig.sum() >= 2, "rendered scene must yield 2 eligible faces"
+
+    n = int(elig.sum())
+    covered = np.zeros_like(elig)
+    picks = []
+    for t in range(n):
+        b = budget.process_frames(
+            frames, gallery._templates, gallery._valid, 2, rotation=t
+        )
+        emb = np.asarray(b["embedded"])
+        assert emb.sum() == 1  # budget respected every step
+        assert emb[elig].any() and not emb[~elig].any()
+        covered |= emb
+        picks.append(int(np.flatnonzero(emb[0])[0]))
+    # every eligible face embedded within n steps, each step a new face
+    np.testing.assert_array_equal(covered, elig)
+    assert len(set(picks)) == n
+
+
+def test_budget_under_dp_mesh_matches_single_device(parts, gallery, rng):
+    """Per-frame compaction never crosses frames, so the budget path shards
+    cleanly over a 'data' mesh axis."""
+    import jax
+    from jax.sharding import Mesh
+
+    detector, embedder = parts
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), axis_names=("data",))
+    single = RecognitionEngine(detector, embedder, top_k=2, embed_budget=2)
+    sharded = RecognitionEngine(
+        detector, embedder, top_k=2, embed_budget=2, mesh=mesh
+    )
+
+    frames = rng.integers(0, 256, size=(2, 160, 160, 3), dtype=np.uint8)
+    a = jax.device_get(
+        single.process_frames(frames, gallery._templates, gallery._valid, 2)
+    )
+    b = jax.device_get(
+        sharded.process_frames(frames, gallery._templates, gallery._valid, 2)
+    )
+    np.testing.assert_array_equal(a["embedded"], b["embedded"])
+    np.testing.assert_allclose(a["embeddings"], b["embeddings"], atol=1e-4)
+    np.testing.assert_allclose(a["match_scores"], b["match_scores"], atol=1e-4)
