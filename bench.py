@@ -153,6 +153,37 @@ def main() -> None:
     faces_per_sec = B * MAX_FACES / times.mean()
     p50_ms = float(np.percentile(times, 50) * 1000)
 
+    # Auxiliary: the serving-oriented embed-budget step (engine embeds only
+    # the 8 best quality-passing faces per frame instead of all 32 slots —
+    # see RecognitionEngine.embed_budget). Reported as extra keys, never at
+    # the expense of the honest all-slots headline; failures here must not
+    # sink the main metric.
+    budget_p50_ms = None
+    try:
+        eng_b = RecognitionEngine(detector, embedder, top_k=3, embed_budget=8)
+
+        def step_b():
+            return eng_b._step(
+                detector.variables, embedder.variables, gallery._templates,
+                gallery._valid, frames, gallery_k=3,
+            )
+
+        sync(step_b())
+        sync(step_b())
+        walls_b = []
+        for _ in range(SAMPLES):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(CHAIN):
+                out = step_b()
+            sync(out)
+            walls_b.append(time.perf_counter() - t0)
+        if all(w > correction * 1.05 for w in walls_b):
+            tb = np.array([(w - correction) / CHAIN for w in walls_b])
+            budget_p50_ms = round(float(np.percentile(tb, 50) * 1000), 2)
+    except Exception:
+        pass
+
     baseline_faces_per_sec = 1000.0 / 74.85  # reference AdaFace ir_101 serial
     print(
         json.dumps(
@@ -167,6 +198,10 @@ def main() -> None:
                 "gallery_size": GALLERY,
                 "sync": "fetch-verified" if sync_ok else "fetch-verified (roundtrip probe exceeded chain window; uncorrected)",
                 "sync_roundtrip_ms": round(roundtrip * 1000, 2),
+                # serving mode: embed only the 8 best faces/frame (all 32
+                # slots still detected/aligned/gated) — frame throughput,
+                # not a faces/sec claim
+                "p50_step_ms_embed_budget8": budget_p50_ms,
             }
         ),
         flush=True,
