@@ -115,10 +115,11 @@ STRESS_WEIGHTS = os.path.join(os.path.dirname(WEIGHTS), "mtcnn_stress.npz")
 def test_stress_retrained_weights_beat_base_on_stress_axes():
     """pretrained/mtcnn_stress.npz was retrained with occluders + explicit
     hard-negative patch mining (train.detector_train.sample_patches neg_boxes
-    path) and, in round 3, the non-face distractor / domain-shift /
-    motion-blur axes; it must hold the measured improvements: occlusion AP
-    0.71 -> 1.0, nonface-distractor FP 4.1 -> 1.5 per image
-    (reports/detector_stress)."""
+    path), the non-face distractor / domain-shift / motion-blur axes, and
+    (round 3, second pass) 30% PURE-negative training scenes; it must hold
+    the measured improvements: occlusion AP 0.74 -> 0.97, faceless
+    hard-negative scenes 2.8 -> 0.17 fp/img, nonface-distractor precision
+    0.34 -> 1.0 (reports/detector_stress)."""
     from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
 
     det = MTCNNDetector(
@@ -133,9 +134,19 @@ def test_stress_retrained_weights_beat_base_on_stress_axes():
     hn = evaluate_detector_category(
         det, "hard_negatives", n_scenes=5, seed=1, operating_threshold=0.5,
     )
-    # scene-seed variance is ~±1 fp/img; the report (fixed seed) shows
-    # 2.83 vs the synthetic weights' 2.5
-    assert hn["operating_point"]["false_positives_per_image"] <= 4.5
+    # report (fixed seed 0) shows 0.17 fp/img; leave ~1 fp/img of
+    # scene-seed headroom so an unrelated seed change can't flake this
+    assert hn["operating_point"]["false_positives_per_image"] <= 1.2
+    nf = evaluate_detector_category(
+        det, "nonface_distractors", n_scenes=5, seed=1,
+        operating_threshold=0.5,
+    )
+    assert nf["operating_point"]["recall"] >= 0.85, nf["operating_point"]
+    assert nf["operating_point"]["precision"] >= 0.75, nf["operating_point"]
+    mb = evaluate_detector_category(
+        det, "motion_blur", n_scenes=5, seed=1, operating_threshold=0.5,
+    )
+    assert mb["operating_point"]["recall"] >= 0.7, mb["operating_point"]
 
 
 @pytest.mark.skipif(
