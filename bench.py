@@ -113,8 +113,29 @@ def main() -> None:
         # host forces in-order completion of everything queued before it.
         np.asarray(out["match_scores"][0, 0])
 
-    # warmup / compile
-    sync(step())
+    # Chain CHAIN steps per timed sample and fetch once: per-step time is
+    # (chain_wall - roundtrip) / CHAIN, amortizing the sync fetch. ONE
+    # measurement loop serves the headline and every auxiliary metric so a
+    # methodology fix can never leave the two on different bases.
+    CHAIN = 5
+    SAMPLES = 4
+
+    def measure_walls(step_fn):
+        """Warm up / compile (fetch-verified), then time SAMPLES chained
+        windows of CHAIN steps each; returns the raw window walls."""
+        sync(step_fn())
+        sync(step_fn())
+        walls = []
+        for _ in range(SAMPLES):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(CHAIN):
+                out = step_fn()
+            sync(out)
+            walls.append(time.perf_counter() - t0)
+        return walls
+
+    # warmup / compile, and drain the queue for the round-trip probe
     sync(step())
 
     # Host<->device round-trip overhead of the sync fetch itself, to subtract
@@ -122,7 +143,6 @@ def main() -> None:
     # catch the tunnel mid-hiccup and come out several times too large —
     # which then OVER-corrects every chained sample — so take the best of
     # several fully-drained probes.
-    sync(step())  # drain everything queued above
     probes = []
     for _ in range(5):
         t_rt = time.perf_counter()
@@ -130,18 +150,7 @@ def main() -> None:
         probes.append(time.perf_counter() - t_rt)
     roundtrip = min(probes)
 
-    # Chain CHAIN steps per timed sample and fetch once: per-step time is
-    # (chain_wall - roundtrip) / CHAIN, amortizing the sync fetch.
-    CHAIN = 5
-    SAMPLES = 4
-    walls = []
-    for _ in range(SAMPLES):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(CHAIN):
-            out = step()
-        sync(out)
-        walls.append(time.perf_counter() - t0)
+    walls = measure_walls(step)
 
     # Apply ONE correction basis to every sample: if the roundtrip probe
     # exceeded any chained window (probe caught the tunnel mid-hiccup),
@@ -168,16 +177,7 @@ def main() -> None:
                 gallery._valid, frames, gallery_k=3,
             )
 
-        sync(step_b())
-        sync(step_b())
-        walls_b = []
-        for _ in range(SAMPLES):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(CHAIN):
-                out = step_b()
-            sync(out)
-            walls_b.append(time.perf_counter() - t0)
+        walls_b = measure_walls(step_b)
         if all(w > correction * 1.05 for w in walls_b):
             tb = np.array([(w - correction) / CHAIN for w in walls_b])
             budget_p50_ms = round(float(np.percentile(tb, 50) * 1000), 2)

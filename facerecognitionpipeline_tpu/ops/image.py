@@ -124,10 +124,12 @@ def i420_to_rgb(yuv: jax.Array, height: int, width: int) -> jax.Array:
 
 
 def rgb_to_i420_host(frame_rgb) -> "np.ndarray":
-    """Host-side RGB uint8 [H,W,3] -> I420 [H*3//2, W] uint8 (cv2 native)."""
-    import cv2
-    import numpy as np
+    """Host-side RGB uint8 [H,W,3] -> I420 [H*3//2, W] uint8 (cv2 native).
 
-    return cv2.cvtColor(
-        np.ascontiguousarray(frame_rgb), cv2.COLOR_RGB2YUV_I420
-    )
+    Delegates to the jax-free transport module so there is exactly one
+    implementation of the host conversion (serve.rawproto.rgb_to_i420 —
+    the camera client must not import jax, so the canonical copy lives
+    there and this device-side module re-exports it)."""
+    from facerecognitionpipeline_tpu.serve.rawproto import rgb_to_i420
+
+    return rgb_to_i420(frame_rgb)

@@ -242,11 +242,11 @@ class RecognitionEngine:
         ok, metrics = jax.vmap(self._per_frame_quality)(det, aligned)
         b, f = aligned.shape[:2]
 
-        x = normalize_face_batch(
-            aligned, dtype=self.embedder._dtype
-        )  # [B, F, S, S, 3]
         if self.embed_budget is None:
             # One backbone forward for every face slot of every frame.
+            x = normalize_face_batch(
+                aligned, dtype=self.embedder._dtype
+            )  # [B, F, S, S, 3]
             feats, norms = self.embedder.model.apply(
                 emb_vars, x.reshape(b * f, self.align_size, self.align_size, 3)
             )
@@ -286,8 +286,14 @@ class RecognitionEngine:
             key = jnp.where(elig, -shift.astype(jnp.float32), -1e9)
             top_s, sel = jax.lax.top_k(key, kb)  # [B, kb]
             sel_ok = top_s > -1e8  # selected slot is genuinely eligible
-            xs = jnp.take_along_axis(
-                x, sel[:, :, None, None, None], axis=1
+            # Gather the selected crops BEFORE normalizing: normalizing all
+            # F slots and then keeping kb would waste (F-kb)/F of the
+            # elementwise work and a full-size [B,F,S,S,3] intermediate.
+            xs = normalize_face_batch(
+                jnp.take_along_axis(
+                    aligned, sel[:, :, None, None, None], axis=1
+                ),
+                dtype=self.embedder._dtype,
             )  # [B, kb, S, S, 3]
             feats_k, norms_k = self.embedder.model.apply(
                 emb_vars,

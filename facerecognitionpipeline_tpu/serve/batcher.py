@@ -352,6 +352,20 @@ class DeviceBatcher:
                 out = self.engine.process_frames(
                     batch, templates, valid, gallery_k=self.top_k, **kwargs
                 )
+                if self._stop.is_set():
+                    # symmetric to the transfer stage's post-upload guard:
+                    # process_frames can outlive stop()'s 2 s thread join
+                    # (a new bucket shape compiles for minutes), after which
+                    # stop()'s _done drain has already run and the completion
+                    # thread has exited — a put here would strand every
+                    # future in the batch
+                    _fail_futures(
+                        items,
+                        RuntimeError(
+                            "DeviceBatcher stopped before this frame ran"
+                        ),
+                    )
+                    continue
                 # async dispatch: hand to the completion stage WITHOUT
                 # blocking, so the next batch's drain/stack/dispatch
                 # overlaps this step's device compute

@@ -347,9 +347,9 @@ class FaceRecognitionServer:
         timings = self.perf_monitor.start_request() if self.perf_monitor else None
         canvas, scale = self._letterbox(frame_rgb)
         if self.transport == "i420":
-            from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
+            from facerecognitionpipeline_tpu.serve.rawproto import rgb_to_i420
 
-            canvas = rgb_to_i420_host(canvas)
+            canvas = rgb_to_i420(canvas)
         return self._process_canvas(
             canvas,
             scale,
@@ -398,12 +398,7 @@ class FaceRecognitionServer:
         memo: Dict = {}
         if fmt == "rgb24":
             rgb = arr.reshape(height, width, 3)
-            if self.transport == "i420":
-                from facerecognitionpipeline_tpu.ops.image import rgb_to_i420_host
-
-                canvas = rgb_to_i420_host(rgb)
-            else:
-                canvas = rgb
+            canvas = rawproto.rgb_to_i420(rgb) if self.transport == "i420" else rgb
             crop_frame = lambda: rgb  # noqa: E731
         else:  # i420
             yuv = arr.reshape(height * 3 // 2, width)
