@@ -182,7 +182,12 @@ def main() -> None:
             tb = np.array([(w - correction) / CHAIN for w in walls_b])
             budget_p50_ms = round(float(np.percentile(tb, 50) * 1000), 2)
     except Exception:
-        pass
+        # The headline must not sink with the aux metric — but a budget-path
+        # regression must not be indistinguishable from a transient skip:
+        # leave the traceback on stderr (the driver records stdout only).
+        import traceback
+
+        traceback.print_exc()
 
     baseline_faces_per_sec = 1000.0 / 74.85  # reference AdaFace ir_101 serial
     print(

@@ -352,24 +352,30 @@ class DeviceBatcher:
                 out = self.engine.process_frames(
                     batch, templates, valid, gallery_k=self.top_k, **kwargs
                 )
-                if self._stop.is_set():
-                    # symmetric to the transfer stage's post-upload guard:
-                    # process_frames can outlive stop()'s 2 s thread join
-                    # (a new bucket shape compiles for minutes), after which
-                    # stop()'s _done drain has already run and the completion
-                    # thread has exited — a put here would strand every
-                    # future in the batch
-                    _fail_futures(
-                        items,
-                        RuntimeError(
-                            "DeviceBatcher stopped before this frame ran"
-                        ),
-                    )
-                    continue
                 # async dispatch: hand to the completion stage WITHOUT
                 # blocking, so the next batch's drain/stack/dispatch
                 # overlaps this step's device compute
                 self._done.put((out, gallery_ids, items))
+                if self._stop.is_set():
+                    # raced with stop(): process_frames can outlive stop()'s
+                    # 2 s thread join (a new bucket shape compiles for
+                    # minutes), after which stop()'s _done drain has already
+                    # run and the completion thread has exited — the put
+                    # above would strand every future in the batch. Same
+                    # put-then-recheck pattern as submit(): a pre-put check
+                    # would leave a check-to-put window stop() can slip
+                    # through. Draining here is safe — this thread is the
+                    # only producer into _done, and _fail_futures tolerates
+                    # entries the completion thread already resolved.
+                    err = RuntimeError(
+                        "DeviceBatcher stopped before this frame ran"
+                    )
+                    while True:
+                        try:
+                            _, _, futs = self._done.get_nowait()
+                        except queue.Empty:
+                            break
+                        _fail_futures(futs, err)
             except Exception as e:
                 _fail_futures(items, e)
 

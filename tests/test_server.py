@@ -405,6 +405,47 @@ def test_batcher_stop_fails_stranded_futures(rng):
             f.result(timeout=1)
 
 
+def test_batcher_stop_during_slow_dispatch_fails_future(rng):
+    """A dispatch whose process_frames outlives stop()'s 2 s thread join (a
+    cold bucket compile takes minutes) must still resolve its futures: the
+    dispatch thread puts into _done AFTER stop()'s drain ran and the
+    completion thread exited. The put-then-recheck in _dispatch_run drains
+    and fails such a batch itself (check-then-put left a TOCTOU window)."""
+    import time as _time
+
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    class SlowEngine:
+        input_format = "rgb"
+
+        def host_frame_shape(self, h, w):
+            return (h, w, 3)
+
+        def process_frames(self, batch, templates, valid, gallery_k=3, **kw):
+            _time.sleep(4.0)  # > stop()'s 2 s join
+            b = batch.shape[0]
+            return {
+                "match_scores": np.zeros((b, 1, gallery_k), np.float32),
+                "match_idx": np.zeros((b, 1, gallery_k), np.int32),
+            }
+
+    batcher = DeviceBatcher(
+        SlowEngine(),
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=2,
+        max_wait_ms=5,
+    )
+    batcher.start()
+    try:
+        fut = batcher.submit(np.zeros((8, 8, 3), np.uint8))
+        _time.sleep(1.0)  # let the dispatch thread enter process_frames
+        batcher.stop()  # joins time out; the put happens ~3 s later
+        with pytest.raises(RuntimeError, match="stopped"):
+            fut.result(timeout=10)
+    finally:
+        batcher.stop()
+
+
 def test_raw_transport_400_drains_body_on_keepalive(server, rng):
     """Early 400s on /process_frame_raw must still consume the octet-stream
     body: on an HTTP/1.1 keep-alive connection, unread frame bytes would be
