@@ -103,6 +103,108 @@ def export_statedict(
     return sd
 
 
+def export_iresnet_statedict(
+    variables: Mapping[str, Any], architecture: str, features_eps: float = 2e-5
+) -> dict[str, np.ndarray]:
+    """flax variables -> insightface/arcface_torch **iresnet** statedict.
+
+    The inverse of `onnx_import.convert_iresnet_weights`: weights trained or
+    imported here deploy back into the arcface_torch stack (and from there to
+    the reference's ArcFace `.onnx` via that repo's stock `torch2onnx`
+    exporter — this environment has no onnx/onnxruntime, so emitting a
+    runnable ONNX graph here would be unverifiable; the statedict is the
+    verified hand-off point). Reference consumer: `face_embedder.py:64-88`
+    serves exactly such exports.
+
+    The affine-less `output_feature_bn` unfolds into iresnet's affine
+    `features` BatchNorm1d (eps 2e-5) with gamma=1, beta=0 — the fold is
+    underdetermined, and the identity-affine representative reproduces the
+    same normalization exactly:
+        (z - mean)/sqrt(var + 2e-5) == (z - mean')/sqrt(var' + 1e-5)
+        with mean = mean', var = var' + 1e-5 - 2e-5.
+    """
+    cfg = BACKBONE_CONFIGS[architecture]
+    units = cfg["units"]
+    if cfg.get("use_se"):
+        raise ValueError(
+            f"{architecture} uses SE blocks; the iresnet layout has none — "
+            "export with export_statedict (AdaFace zoo layout) instead"
+        )
+    if not cfg.get("conv_shortcut"):
+        raise ValueError(
+            f"{architecture} uses subsampling shortcuts on stride-2 "
+            "equal-channel units; iresnet requires conv1x1+BN downsamples "
+            "there (the iresnet_* configs) — export this tree with "
+            "export_statedict (AdaFace zoo layout) instead"
+        )
+    params = variables["params"]
+    try:
+        stats = variables["batch_stats"]
+    except KeyError:
+        raise ValueError(
+            "variables have no 'batch_stats' collection — this looks like a "
+            "BN-folded inference tree (models.fold), which has lost the "
+            "running statistics; export the canonical tree instead"
+        ) from None
+
+    sd: dict[str, np.ndarray] = {}
+    _put_conv(sd, "conv1", params["input_conv"]["kernel"])
+    _put_bn(sd, "bn1", params["input_bn"], stats["input_bn"])
+    sd["prelu.weight"] = _np(params["input_prelu"]["alpha"])
+
+    for stage, n_units in enumerate(units):
+        for unit in range(n_units):
+            name = f"stage{stage}_unit{unit}"
+            bp, bs = params[name], stats[name]
+            base = f"layer{stage + 1}.{unit}"
+            if "shortcut_conv" in bp:
+                _put_conv(sd, f"{base}.downsample.0",
+                          bp["shortcut_conv"]["kernel"])
+                _put_bn(sd, f"{base}.downsample.1",
+                        bp["shortcut_bn"], bs["shortcut_bn"])
+            _put_bn(sd, f"{base}.bn1", bp["res_bn1"], bs["res_bn1"])
+            _put_conv(sd, f"{base}.conv1", bp["res_conv1"]["kernel"])
+            _put_bn(sd, f"{base}.bn2", bp["res_bn2"], bs["res_bn2"])
+            sd[f"{base}.prelu.weight"] = _np(bp["res_prelu"]["alpha"])
+            _put_conv(sd, f"{base}.conv2", bp["res_conv2"]["kernel"])
+            _put_bn(sd, f"{base}.bn3", bp["res_bn3"], bs["res_bn3"])
+
+    _put_bn(sd, "bn2", params["output_bn"], stats["output_bn"])
+    sd["fc.weight"] = _np(params["output_fc"]["kernel"]).T
+    sd["fc.bias"] = _np(params["output_fc"]["bias"])
+
+    our_eps = 1e-5
+    mean = _np(stats["output_feature_bn"]["mean"])
+    var = _np(stats["output_feature_bn"]["var"]) + our_eps - features_eps
+    if np.any(var + features_eps <= 0):
+        raise ValueError(
+            "output_feature_bn variance too small to represent under the "
+            f"iresnet features eps {features_eps}"
+        )
+    d = mean.shape[0]
+    sd["features.weight"] = np.ones(d, np.float32)
+    sd["features.bias"] = np.zeros(d, np.float32)
+    sd["features.running_mean"] = mean
+    sd["features.running_var"] = var
+    sd["features.num_batches_tracked"] = np.zeros((), np.int64)
+    return sd
+
+
+def save_iresnet_statedict(
+    variables: Mapping[str, Any], architecture: str, path: str
+) -> None:
+    """Write a plain torch statedict `.pt` in arcface_torch iresnet naming —
+    the file `iresnet{N}().load_state_dict(torch.load(p))` and that repo's
+    `torch2onnx` consume directly."""
+    import torch
+
+    sd = export_iresnet_statedict(variables, architecture)
+    torch.save(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        path,
+    )
+
+
 def save_adaface_checkpoint(
     variables: Mapping[str, Any],
     architecture: str,
