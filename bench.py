@@ -118,7 +118,7 @@ def main() -> None:
     # measurement loop serves the headline and every auxiliary metric so a
     # methodology fix can never leave the two on different bases.
     CHAIN = 5
-    SAMPLES = 4
+    SAMPLES = 8  # ~1s extra; halves the run-to-run spread of the median
 
     def measure_walls(step_fn):
         """Warm up / compile (fetch-verified), then time SAMPLES chained
