@@ -76,6 +76,14 @@ class _LazySlice:
         return self._dev.dtype
 
     def __array__(self, dtype=None, copy=None):
+        if copy is False:
+            # numpy 2.x protocol: materializing a device tensor is always a
+            # copy; honoring copy=False silently would hand back an array
+            # whose in-place edits are lost
+            raise ValueError(
+                "_LazySlice materializes a device fetch; a zero-copy view "
+                "(copy=False) cannot be honored"
+            )
         arr = np.asarray(self._dev[self._idx] if self._idx else self._dev)
         return arr.astype(dtype) if dtype is not None else arr
 
@@ -136,6 +144,15 @@ class DeviceBatcher:
     def start(self) -> None:
         if self._threads:
             return
+        if self._stop.is_set():
+            # Not restartable: stop() may have left timed-out stage threads
+            # alive that still watch this event — clearing it would revive
+            # them alongside the new set. Fail loudly instead of returning a
+            # batcher whose fresh threads exit their loops immediately.
+            raise RuntimeError(
+                "DeviceBatcher cannot restart after stop(); "
+                "create a new DeviceBatcher"
+            )
         for target, name in (
             (self._transfer_run, "batcher-transfer"),
             (self._dispatch_run, "batcher-dispatch"),
@@ -247,18 +264,22 @@ class DeviceBatcher:
                 futs.append(u2)
             try:
                 dev = jax.device_put(np.stack(frames))
+                # put-then-recheck (same shape as submit() and the dispatch
+                # stage): stop()'s _ready drain may already have run (e.g.
+                # this upload outlived the 2 s thread join) — a check BEFORE
+                # the put leaves a window stop() can slip through, after
+                # which nothing would ever fail these futures.
+                self._ready.put((dev, futs))
                 if self._stop.is_set():
-                    # stop()'s drain may already have swept _ready (e.g. this
-                    # upload outlived the 2 s thread join); dispatch will
-                    # never run, so fail these futures rather than strand them
-                    _fail_futures(
-                        futs,
-                        RuntimeError(
-                            "DeviceBatcher stopped before this frame ran"
-                        ),
+                    err = RuntimeError(
+                        "DeviceBatcher stopped before this frame ran"
                     )
-                else:
-                    self._ready.put((dev, futs))
+                    while True:
+                        try:
+                            _, futs2 = self._ready.get_nowait()
+                        except queue.Empty:
+                            break
+                        _fail_futures(futs2, err)
             except Exception as e:
                 _fail_futures(futs, e)
 

@@ -391,7 +391,9 @@ class FaceRecognitionServer:
                 f"raw {fmt} payload must be exactly {expected} bytes "
                 f"for {width}x{height}, got {len(buf)}"
             )
-        if scale <= 0.0:
+        if not (0.0 < scale < float("inf")):
+            # the negated form also rejects NaN (every NaN comparison is
+            # False), which `scale <= 0.0` would wave through into bbox math
             raise ValueError(f"invalid {rawproto.HEADER_SCALE}: {scale}")
 
         arr = np.frombuffer(buf, np.uint8)
@@ -734,8 +736,17 @@ class FaceRecognitionServer:
                         }
                     )
                 elif result["confidence"] > existing["confidence"]:
+                    # the evidence fields must follow the confidence they
+                    # belong to — keeping the old saved crop/track under the
+                    # new score would misattribute the record (first_seen
+                    # stays: it is the earliest sighting by definition)
                     existing["confidence"] = result["confidence"]
                     existing["detection_quality"] = result["detection_quality"]
+                    existing["track_id"] = f"track_{track_id:04d}"
+                    existing["duration_seconds"] = duration
+                    existing["saved_face_path"] = result.get(
+                        "saved_face_path", ""
+                    )
             else:
                 attendance["unrecognized"].append(
                     {

@@ -308,7 +308,14 @@ class LiveRecognitionTracker:
         return max(with_match or buffer, key=self._frame_quality)
 
     def mark_recognized(self, track_id: int, student_info: Dict) -> None:
-        self.recognized_tracks[track_id] = student_info
+        # Store a (shallow) copy: the caller keeps mutating its dict on the
+        # disk-I/O path (saved_face_path insert, _first_seen/_duration pops
+        # under the server's _io_lock) while concurrent frames iterate this
+        # one building responses under _lock — sharing the object is a
+        # dict-changed-during-iteration race, and the io-private keys would
+        # leak into the recognized_tracks payload. Only top-level keys are
+        # ever mutated, so a shallow copy suffices.
+        self.recognized_tracks[track_id] = dict(student_info)
 
     def increment_attempts(self, track_id: int) -> None:
         self.recognition_attempts[track_id] = (

@@ -311,15 +311,16 @@ def test_raw_transport_validation(server, rng):
         timeout=10,
     )
     assert r.status_code == 400
-    # bad scale
-    r = requests.post(
-        f"{url}/process_frame_raw",
-        data=b"\0" * rawproto.payload_nbytes("rgb24", 640, 640),
-        headers={**base, rawproto.HEADER_FORMAT: "rgb24",
-                 rawproto.HEADER_SCALE: "0"},
-        timeout=10,
-    )
-    assert r.status_code == 400
+    # bad scale — including NaN, which `scale <= 0` comparisons wave through
+    for bad_scale in ("0", "-1", "nan", "inf"):
+        r = requests.post(
+            f"{url}/process_frame_raw",
+            data=b"\0" * rawproto.payload_nbytes("rgb24", 640, 640),
+            headers={**base, rawproto.HEADER_FORMAT: "rgb24",
+                     rawproto.HEADER_SCALE: bad_scale},
+            timeout=10,
+        )
+        assert r.status_code == 400, bad_scale
 
 
 def test_client_raw_i420_payload(server):
@@ -403,6 +404,37 @@ def test_batcher_stop_fails_stranded_futures(rng):
     for f in (f_ingress, f_ready, f_carry, f_done):
         with pytest.raises(RuntimeError, match="stopped"):
             f.result(timeout=1)
+
+
+def test_batcher_refuses_restart_after_stop(rng):
+    """stop() may leave timed-out stage threads alive watching _stop;
+    start() must fail loudly instead of spawning threads that exit their
+    loops immediately (a silently dead batcher)."""
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    batcher = DeviceBatcher(
+        object(),
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=2,
+    )
+    batcher.start()
+    batcher.stop()
+    with pytest.raises(RuntimeError, match="restart"):
+        batcher.start()
+
+
+def test_lazy_slice_rejects_copy_false(rng):
+    """numpy 2.x __array__ protocol: copy=False must raise (materializing a
+    device tensor is always a copy), never silently return one."""
+    import jax.numpy as jnp
+
+    from facerecognitionpipeline_tpu.serve.batcher import _LazySlice
+
+    view = _LazySlice(jnp.arange(12).reshape(3, 4), (1,))
+    with pytest.raises(ValueError, match="copy"):
+        np.asarray(view, copy=False)
+    out = np.asarray(view)  # default path still materializes
+    np.testing.assert_array_equal(out, np.arange(4) + 4)
 
 
 def test_batcher_stop_during_slow_dispatch_fails_future(rng):

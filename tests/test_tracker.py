@@ -158,6 +158,23 @@ def test_live_frame_interval_gating():
     assert not t.should_recognize(1, frame_count=120)
 
 
+def test_mark_recognized_stores_a_copy():
+    """The server mutates its rec_result on the disk-I/O path after marking
+    (saved_face_path insert, _first_seen/_duration pops) while other frames
+    iterate recognized_tracks building responses — the tracker must own an
+    independent dict."""
+    from facerecognitionpipeline_tpu.serve.tracker import LiveRecognitionTracker
+
+    t = LiveRecognitionTracker()
+    info = {"student_id": "S1", "name": "A", "confidence": 0.9, "track_id": 1}
+    t.mark_recognized(1, info)
+    info["saved_face_path"] = "/tmp/x.png"
+    info.pop("confidence")
+    stored = t.recognized_tracks[1]
+    assert "saved_face_path" not in stored
+    assert stored["confidence"] == 0.9
+
+
 def test_track_duration_survives_malformed_timestamp():
     from facerecognitionpipeline_tpu.serve.tracker import LiveRecognitionTracker
 
