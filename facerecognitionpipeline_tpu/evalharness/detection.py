@@ -193,15 +193,20 @@ def _place_faces(img, rng, size, n, smin, smax, theta_max=0.2, contrast=1.0,
         s = float(rng.integers(smin, smax + 1)) / 2.0
         cx = rng.uniform(s + 2, size - s - 2)
         cy = rng.uniform(s * 1.2 + 2, size - s * 1.2 - 2)
-        if any(abs(cx - px) < min_sep * max(s, ps) / 2 * 2
-               and abs(cy - py) < min_sep * max(s, ps) / 2 * 2
+        # one unit throughout: s and ps are HALF-extents, so min_sep=2.0
+        # means centers at least one full (larger) face apart — the previous
+        # form compared a half-extent against a stored full extent, which
+        # doubled the exclusion radius and quietly de-crowded the 'crowded'
+        # suite (and the stress training scenes)
+        if any(abs(cx - px) < min_sep * max(s, ps)
+               and abs(cy - py) < min_sep * max(s, ps)
                for px, py, ps in centers):
             continue
         theta = rng.uniform(-theta_max, theta_max)
         box, lm = _draw_face(img, cx, cy, s, theta, rng, contrast=contrast)
         boxes.append(box)
         lms.append(lm)
-        centers.append((cx, cy, s * 2))
+        centers.append((cx, cy, s))
     return boxes, lms
 
 
@@ -275,11 +280,13 @@ STRESS_CATEGORIES = (
 
 def render_stress_training_scene(
     rng: np.random.Generator, size: int = 160
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Training scene with the stress axes mixed in (occluders over faces,
     face-like distractors as hard negatives, contrast/noise variation).
-    Matches the train.detector_train scene_fn contract:
-    (image, boxes [N,4], landmarks [N,5,2])."""
+    Matches the train.detector_train scene_fn contract with the optional
+    4th element: (image, boxes [N,4], landmarks [N,5,2],
+    hard_negative_boxes [M,4]) — the trainer samples negative windows from
+    the distractor boxes (detector_train.py handles 3- and 4-tuples)."""
     import cv2
 
     img = _background(rng, size)
