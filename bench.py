@@ -22,26 +22,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _backend_watchdog(timeout_s: float = 180.0) -> None:
-    """Fail FAST (one diagnostic JSON line) when backend init is dead.
+    """Fail FAST (one diagnostic JSON line) when backend init is dead, so a
+    driver-run bench reports a clear infrastructure error instead of hanging
+    until killed (see utils.devices.probe_device_count)."""
+    from facerecognitionpipeline_tpu.utils.devices import probe_device_count
 
-    A downed device tunnel can hang `jax.devices()` indefinitely (observed:
-    25 min before erroring UNAVAILABLE); probe it in a bounded subprocess so
-    a driver-run bench reports a clear infrastructure error instead of
-    hanging until killed. Normal init is seconds, so 180 s never trips on a
-    healthy (even slow) tunnel."""
-    import subprocess
-
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        ok = probe.returncode == 0 and probe.stdout.strip()
-        detail = probe.stderr.strip().splitlines()[-1:] if not ok else []
-    except subprocess.TimeoutExpired:
-        ok, detail = False, [f"backend init exceeded {timeout_s:.0f}s watchdog"]
-    if not ok:
+    n, detail = probe_device_count(
+        timeout_s, cwd=os.path.dirname(os.path.abspath(__file__))
+    )
+    if n < 1:
         print(json.dumps({
             "metric": "faces/sec/chip detect+align+embed+match (ir_101, bf16)",
             "value": None,
@@ -54,8 +43,6 @@ def _backend_watchdog(timeout_s: float = 180.0) -> None:
 
 
 def main() -> None:
-    import os
-
     _backend_watchdog()
 
     import jax  # noqa: F401

@@ -13,6 +13,16 @@ import os
 from facerecognitionpipeline_tpu.models.irse import BACKBONE_CONFIGS
 
 
+def _positive_int(value: str) -> int:
+    n = int(value)
+    if n < 1:
+        raise argparse.ArgumentTypeError(
+            f"must be >= 1 (got {n}); enrollment always keeps at least the "
+            "original crop"
+        )
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Enroll students into the face-recognition gallery"
@@ -36,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--backup_dir", type=str, default=None,
                    help="Write a timestamped {model}_{arch} backup here")
-    p.add_argument("--augmentations", type=int, default=8,
+    p.add_argument("--augmentations", type=_positive_int, default=8,
                    help="Augmented variants per kept face (max 16)")
     return p
 

@@ -59,8 +59,14 @@ def main(argv=None) -> int:
         if show:
             img = cv2.imread(path)
             if img is not None:
-                cv2.imshow("probe", img)
-                cv2.waitKey(100)
+                try:
+                    cv2.imshow("probe", img)
+                    cv2.waitKey(100)
+                except cv2.error:
+                    # headless host (no X/Qt): degrade to filenames-only as
+                    # documented instead of aborting the labeling session
+                    print("  (no display available; continuing text-only)")
+                    show = False
         try:
             cmd = input(f"{fname} > ").strip()
         except EOFError:

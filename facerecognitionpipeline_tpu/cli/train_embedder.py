@@ -60,8 +60,8 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
+    from facerecognitionpipeline_tpu.parallel.mesh import make_mesh
     from facerecognitionpipeline_tpu.train.checkpoint import (
         export_backbone,
         latest_step,
@@ -75,25 +75,21 @@ def main(argv=None) -> int:
     )
     from facerecognitionpipeline_tpu.train.trainer import TrainConfig, Trainer
 
-    devices = np.array(jax.devices())
     n_model = max(1, args.model_parallel)
-    n_data = args.data_parallel or (len(devices) // n_model)
-    mesh = Mesh(
-        devices[: n_data * n_model].reshape(n_data, n_model),
-        axis_names=("data", "model"),
-    )
+    # make_mesh validates device counts with a clear error (vs a cryptic
+    # reshape failure from a hand-rolled Mesh here)
+    mesh = make_mesh(data=args.data_parallel or None, model=n_model)
+    n_data = mesh.shape["data"]
     print(f"Mesh: data={n_data} x model={n_model}")
 
     if args.synthetic_classes:
         num_classes = args.synthetic_classes
-        batches = synthetic_batches(num_classes, args.batch_size, args.seed)
     else:
         if not args.data_dir:
             raise SystemExit("Provide --data_dir or --synthetic_classes")
         dataset = FolderDataset(args.data_dir)
         num_classes = dataset.num_classes
         print(f"Dataset: {len(dataset)} images / {num_classes} identities")
-        batches = folder_batches(dataset, args.batch_size, seed=args.seed)
 
     # partial-FC wants num_classes divisible by the model axis
     padded_classes = ((num_classes + n_model - 1) // n_model) * n_model
@@ -121,15 +117,30 @@ def main(argv=None) -> int:
             start_step = int(state["step"])
             print(f"Resumed from step {start_step}")
 
+    # The data stream starts AFTER resume so a resumed run does not replay
+    # the epoch-0 shuffle under renumbered steps: offsetting the stream seed
+    # by the resumed step continues on fresh batches (exact skip-forward
+    # would decode and discard start_step batches for nothing).
+    stream_seed = args.seed + start_step
+    if args.synthetic_classes:
+        batches = synthetic_batches(num_classes, args.batch_size, stream_seed)
+    else:
+        batches = folder_batches(dataset, args.batch_size, seed=stream_seed)
+
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
     losses = []
+    pending = []  # device-array metrics; fetched once per log window
     for step_i, (images, labels) in enumerate(batches, start=start_step):
         if step_i >= args.steps:
             break
         state, metrics = trainer.train_step(state, images, labels, rng)
-        losses.append(float(metrics["loss"]))
+        # keep the loss ON DEVICE: a per-step float() forces a host sync
+        # through the device tunnel every iteration, serializing the loop
+        pending.append(metrics["loss"])
         if (step_i + 1) % args.log_every == 0:
+            losses.extend(float(v) for v in pending)
+            pending = []
             rate = args.log_every * args.batch_size / (time.perf_counter() - t0)
             print(
                 f"step {step_i + 1}/{args.steps} "
@@ -141,6 +152,7 @@ def main(argv=None) -> int:
             save_checkpoint(args.checkpoint_dir, jax.device_get(state), step_i + 1)
             print(f"checkpoint @ step {step_i + 1}")
 
+    losses.extend(float(v) for v in pending)  # flush a partial log window
     final_step = int(state["step"])
     save_checkpoint(args.checkpoint_dir, jax.device_get(state), final_step)
     if args.export_path:

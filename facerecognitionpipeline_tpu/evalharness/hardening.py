@@ -120,7 +120,9 @@ def subsampled_gallery(
     sub_negatives = {**negatives, **extra_impostors}
     return {
         "n_enrolled": len(sub_gallery),
-        "n_open_set_identities": len(sub_negatives),
+        # count only the de-enrolled identities — sub_negatives also holds
+        # the negative-corpus CATEGORY keys ('real', 'lfw'), not identities
+        "n_open_set_identities": len(extra_impostors),
         **_headline(sub_gallery, sub_probes, sub_negatives, thresholds),
     }
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import shutil
 from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Dict, List, Optional, Tuple
@@ -326,11 +325,12 @@ class GalleryManager:
         pkl_path = os.path.join(backup_dir, f"{base}.pkl")
         json_path = os.path.join(backup_dir, f"{base}.json")
 
-        if os.path.exists(self.gallery_path):
-            shutil.copy2(self.gallery_path, pkl_path)
-        else:
-            with open(pkl_path, "wb") as f:
-                pickle.dump(self.students, f)
+        # Dump the IN-MEMORY records: copying the on-disk pickle (the
+        # reference's scheme, gallery_manager.py:246-270) produces a backup
+        # pair whose .pkl silently lags the sibling .json whenever the
+        # caller backed up between add_student() and save().
+        with open(pkl_path, "wb") as f:
+            pickle.dump(self.students, f)
 
         json_data = {
             "backup_date": datetime.now().isoformat(),
@@ -392,7 +392,11 @@ class GalleryManager:
 
     def _aggregate_embeddings(self, embeddings: np.ndarray) -> np.ndarray:
         if len(embeddings) == 1:
-            return embeddings[0]
+            # normalize like every multi-embedding path: search assumes unit
+            # templates, so an unnormalized single-sample template would
+            # scale that student's every match score by its norm
+            e = embeddings[0]
+            return e / (np.linalg.norm(e) + _EPS)
         embeddings = self._filter_quality_embeddings(embeddings)
         if self.aggregation_method == "median":
             agg = np.median(embeddings, axis=0)

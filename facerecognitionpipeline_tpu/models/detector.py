@@ -293,24 +293,18 @@ class MTCNNDetector:
 
     def _load_weights(self, path: str) -> dict:
         if path.endswith(".npz"):
-            import flax
+            from facerecognitionpipeline_tpu.utils.io import load_npz_variables
 
-            # plain-array archives only — never execute pickled code from a
-            # weights path
-            blob = np.load(path, allow_pickle=False)
-            return flax.traverse_util.unflatten_dict(
-                {tuple(k.split("/")): blob[k] for k in blob.files}
-            )
+            return load_npz_variables(path)
         import torch
 
         blob = torch.load(path, map_location="cpu", weights_only=True)
         return load_mtcnn_torch_statedict(blob)
 
     def save_npz(self, path: str) -> None:
-        import flax
+        from facerecognitionpipeline_tpu.utils.io import save_npz_variables
 
-        flat = flax.traverse_util.flatten_dict(self.variables)
-        np.savez(path, **{"/".join(k): np.asarray(v) for k, v in flat.items()})
+        save_npz_variables(path, self.variables)
 
     # ------------------------------------------------------------- cascade
 
@@ -553,9 +547,18 @@ class MTCNNDetector:
         for i in range(self.max_faces):
             if not out["valid"][i]:
                 continue
+            # clip to the ORIGINAL image: the cascade clips to det_size only,
+            # so a box regressed a few px into the letterbox padding would
+            # map past (iw-1, ih-1) and downstream int-bbox crops would
+            # slice short/empty
+            bbox = np.clip(
+                out["bboxes"][i] / scale,
+                0,
+                [iw - 1, ih - 1, iw - 1, ih - 1],
+            )
             results.append(
                 {
-                    "bbox": (out["bboxes"][i] / scale).astype(np.int32),
+                    "bbox": bbox.astype(np.int32),
                     "landmarks": (out["landmarks"][i] / scale).astype(np.float32),
                     "det_score": float(out["scores"][i]),
                     "pose": None,

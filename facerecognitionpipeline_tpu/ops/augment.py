@@ -73,6 +73,12 @@ def augment_batch(
     """
     faces = faces.astype(jnp.float32)
     n = faces.shape[0]
+    if not 1 <= num_augmentations <= NUM_VARIANTS:
+        raise ValueError(
+            f"num_augmentations={num_augmentations} must be in "
+            f"[1, {NUM_VARIANTS}] — a silent truncation (or an empty stack) "
+            "would enroll fewer augmentations than the caller sized for"
+        )
     variants = [faces, faces[:, :, ::-1, :]]  # original, h-flip
 
     for angle in ROTATION_ANGLES:

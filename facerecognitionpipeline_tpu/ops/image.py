@@ -40,7 +40,13 @@ def resize_bilinear(images: jax.Array, out_h: int, out_w: int) -> jax.Array:
     if (h, w) == (out_h, out_w):
         return images.astype(jnp.float32)
     out_shape = (*lead, out_h, out_w, c)
-    return jax.image.resize(images.astype(jnp.float32), out_shape, method="linear")
+    # antialias=False: cv2.INTER_LINEAR samples a fixed 2x2 neighborhood
+    # when DOWNSCALING too — jax's default antialias=True widens the kernel
+    # there, silently diverging from the reference for crops larger than
+    # the model input (upsampling is unaffected either way)
+    return jax.image.resize(
+        images.astype(jnp.float32), out_shape, method="linear", antialias=False
+    )
 
 
 def normalize_face_batch(faces_rgb: jax.Array, dtype=jnp.float32) -> jax.Array:

@@ -102,23 +102,13 @@ class EmbeddingGenerator:
 
     @staticmethod
     def _load_resized(path: str) -> Optional[np.ndarray]:
-        """Raw probe crops resize to 112 without re-detecting
-        (embedding_generator.py:265-266)."""
-        img = imread_rgb(path)
-        if img is None:
-            return None
-        if img.shape[:2] != (112, 112):
-            try:
-                import cv2
-
-                img = cv2.resize(img, (112, 112))
-            except ImportError:  # pragma: no cover
-                import jax
-
-                img = np.asarray(
-                    jax.image.resize(img.astype(np.float32), (112, 112, 3), "linear")
-                )
-        return img
+        """Raw probe crops are embedded without re-detecting
+        (embedding_generator.py:265-266); resizing to 112 happens inside
+        extract_embeddings_batch (FaceEmbedder._resize_host) so corpus
+        embeddings share the serving path's exact resize semantics —
+        a second resize implementation here had already drifted (uint8
+        default-interp vs float32 INTER_LINEAR)."""
+        return imread_rgb(path)
 
     # --------------------------------------------------------------- gallery
 

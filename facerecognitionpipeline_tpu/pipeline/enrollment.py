@@ -78,7 +78,15 @@ class StudentEnrollment:
     ) -> Tuple[bool, Dict]:
         student_name = os.path.basename(student_dir)
         if student_id is None:
-            student_id = f"STU{len(self.gallery.get_all_students()) + 1:04d}"
+            # Next free numeric suffix — NOT len(students)+1 (the reference's
+            # enroll_students.py:125-126 scheme): after any deletion that
+            # collides with a live ID and the overwrite=True below would
+            # silently replace an unrelated student.
+            taken = {
+                int(s[3:]) for s in self.gallery.get_all_students()
+                if s.startswith("STU") and s[3:].isdigit()
+            }
+            student_id = f"STU{max(taken, default=0) + 1:04d}"
         print(f"\nProcessing: {student_name} ({student_id})")
 
         image_files = list_images(student_dir)
@@ -220,7 +228,10 @@ class StudentEnrollment:
         correct, total, inter = 0, 0, []
         for sid, student in students.items():
             results = self.gallery.search(student.embeddings[0], top_k=3)
-            if results[0][1] == student.name:
+            # compare by student_id, not display name: duplicate-named
+            # records would otherwise mask a cross-record mismatch exactly
+            # when the gallery is corrupted
+            if results[0][0] == sid:
                 correct += 1
             else:
                 print(

@@ -100,6 +100,12 @@ class ProbeLabeler:
             if img is not None:
                 names.append(os.path.basename(p))
                 images.append(img)
+        if not images:
+            # paths existed but none decoded (corrupt files): report it
+            # instead of handing a (0,)-shaped batch to the embedder and
+            # crashing in cosine_topk with an opaque shape error
+            print(f"No readable images among {len(paths)} files in {probe_dir}")
+            return {"error": "no_readable_images", "num_files": len(paths)}
         embeddings = self.embedder.extract_embeddings_batch(images, normalize=True)
         all_matches = self.gallery.search_batch(embeddings, top_k=top_k)
 

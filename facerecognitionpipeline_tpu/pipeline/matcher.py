@@ -113,7 +113,6 @@ class FaceMatcher:
         all_matches = self.match_faces_batch([img for _, img in frames], top_k=top_k)
 
         frame_matches = []
-        all_scores: Dict[str, List[float]] = {}
         for (fname, _), matches in zip(frames, all_matches):
             if not matches:
                 continue
@@ -130,7 +129,6 @@ class FaceMatcher:
                     ],
                 }
             )
-            all_scores.setdefault(sid, []).append(float(score))
 
         if not frame_matches:
             print("No valid matches found")
@@ -200,9 +198,9 @@ class FaceMatcher:
         strong = ratio > 0.5
         if not strong and len(most_common) > 1:
             strong = ratio > 0.4 and winner_count >= 2 * most_common[1][1]
-        if strict and not strong:
-            return None
-        if not strict and not strong:
+        if not strong:
+            # identical in both modes — the only strict/majority_vote
+            # difference is the quality-gate fallback above
             return None
 
         winner_scores = [m["score"] for m in quality if m["student_id"] == winner_id]

@@ -218,7 +218,37 @@ class PerformanceMonitorServer:
         self.session_end = datetime.now()
         duration = (self.session_end - self.session_start).total_seconds()
 
-        data = {
+        with self.lock:
+            # a request thread may still be inside end_request appending to
+            # the latency deques; iterating them unlocked raises 'deque
+            # mutated during iteration' mid-shutdown
+            data = self._build_report(duration)
+
+        report_path = os.path.join(self.output_dir, "performance_report_server.json")
+        with open(report_path, "w") as f:
+            json.dump(data, f, indent=2)
+        if client_report:
+            with open(
+                os.path.join(self.output_dir, "performance_report_client.json"), "w"
+            ) as f:
+                json.dump(client_report, f, indent=2)
+        if self.log_detailed_requests and self.detailed_request_logs:
+            with open(
+                os.path.join(self.output_dir, "detailed_request_logs_server.json"),
+                "w",
+            ) as f:
+                json.dump(self.detailed_request_logs, f, indent=2)
+        print(
+            f"SERVER PERFORMANCE: {self.total_requests} requests, "
+            f"rec avg {data['latency_metrics']['recognition']['average_ms']:.2f} ms, "
+            f"e2e avg {data['latency_metrics']['end_to_end_server']['average_ms']:.2f} ms "
+            f"-> {report_path}"
+        )
+        return data
+
+    def _build_report(self, duration: float) -> Dict:
+        """Reference report schema; caller holds self.lock."""
+        return {
             "session_info": {
                 "session_name": self.session_name,
                 "model_identifier": self.model_identifier,
@@ -272,28 +302,6 @@ class PerformanceMonitorServer:
                 "gpu_available": self.enable_gpu_monitoring,
             },
         }
-
-        report_path = os.path.join(self.output_dir, "performance_report_server.json")
-        with open(report_path, "w") as f:
-            json.dump(data, f, indent=2)
-        if client_report:
-            with open(
-                os.path.join(self.output_dir, "performance_report_client.json"), "w"
-            ) as f:
-                json.dump(client_report, f, indent=2)
-        if self.log_detailed_requests and self.detailed_request_logs:
-            with open(
-                os.path.join(self.output_dir, "detailed_request_logs_server.json"),
-                "w",
-            ) as f:
-                json.dump(self.detailed_request_logs, f, indent=2)
-        print(
-            f"SERVER PERFORMANCE: {self.total_requests} requests, "
-            f"rec avg {data['latency_metrics']['recognition']['average_ms']:.2f} ms, "
-            f"e2e avg {data['latency_metrics']['end_to_end_server']['average_ms']:.2f} ms "
-            f"-> {report_path}"
-        )
-        return data
 
 
 # The reference live app imports this name (face_recognition_live.py:16) but
@@ -441,7 +449,27 @@ class PerformanceMonitorClient:
         duration = (self.session_end - self.session_start).total_seconds()
         avg_fps = self.total_frames / duration if duration > 0 else 0
 
-        data = {
+        # hold the lock while reading the latency deques: the capture loop
+        # may still be appending (deque mutated during iteration otherwise)
+        with self.lock:
+            data = self._build_report(duration, avg_fps)
+        with open(
+            os.path.join(self.output_dir, "performance_report_client_temp.json"), "w"
+        ) as f:
+            json.dump(data, f, indent=2)
+        if self.log_detailed_frames and self.detailed_frame_logs:
+            with open(
+                os.path.join(self.output_dir, "detailed_frame_logs_client.json"), "w"
+            ) as f:
+                json.dump(self.detailed_frame_logs, f, indent=2)
+        print(
+            f"CLIENT PERFORMANCE: {self.total_frames} frames, avg fps {avg_fps:.2f}"
+        )
+        return data
+
+    def _build_report(self, duration: float, avg_fps: float) -> Dict:
+        """Reference report schema; caller holds self.lock."""
+        return {
             "session_info": {
                 "session_name": self.session_name,
                 "start_time": self.session_start.isoformat(),
@@ -483,16 +511,3 @@ class PerformanceMonitorClient:
                 else 0,
             },
         }
-        with open(
-            os.path.join(self.output_dir, "performance_report_client_temp.json"), "w"
-        ) as f:
-            json.dump(data, f, indent=2)
-        if self.log_detailed_frames and self.detailed_frame_logs:
-            with open(
-                os.path.join(self.output_dir, "detailed_frame_logs_client.json"), "w"
-            ) as f:
-                json.dump(self.detailed_frame_logs, f, indent=2)
-        print(
-            f"CLIENT PERFORMANCE: {self.total_frames} frames, avg fps {avg_fps:.2f}"
-        )
-        return data

@@ -17,6 +17,10 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+# Canonical npz (de)serialization lives in utils.io; load_npz_variables is
+# re-exported here because embedder/tests import it from this module.
+from facerecognitionpipeline_tpu.utils.io import load_npz_variables  # noqa: F401
+
 import jax
 import numpy as np
 
@@ -68,23 +72,12 @@ def restore_checkpoint(checkpoint_dir: str, abstract_state, step: Optional[int] 
 def export_backbone(state, path: str) -> None:
     """Write inference variables ({'params', 'batch_stats'}) as the flattened
     .npz format `FaceEmbedder(model_path=...)` and `MTCNNDetector` use."""
-    import flax
+    from facerecognitionpipeline_tpu.utils.io import save_npz_variables
 
-    variables = {
+    save_npz_variables(path, {
         "params": jax.device_get(state["params"]["backbone"]),
         "batch_stats": jax.device_get(state["batch_stats"]),
-    }
-    flat = flax.traverse_util.flatten_dict(variables)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **{"/".join(k): np.asarray(v) for k, v in flat.items()})
+    })
 
 
-def load_npz_variables(path: str) -> dict:
-    """Inverse of export_backbone (shared with detector npz loading)."""
-    import flax
 
-    # plain-array archives only — never execute pickled code from a ckpt path
-    blob = np.load(path, allow_pickle=False)
-    return flax.traverse_util.unflatten_dict(
-        {tuple(k.split("/")): blob[k] for k in blob.files}
-    )

@@ -136,10 +136,15 @@ def _folder_batches_iter(
                     imgs.append(img)
                     labels.append(dataset.labels_np[i])
                 if len(imgs) < batch_size:
-                    # top up with repeats to keep the shape static
+                    # top up with round-robin repeats over the images that
+                    # DID decode, to keep the shape static without skewing
+                    # sample weights (indexing off the growing list repeated
+                    # only imgs[1], triple-weighting it on every short batch)
+                    n_real = len(imgs)
                     while len(imgs) < batch_size and imgs:
-                        imgs.append(imgs[len(imgs) % max(1, len(imgs) - 1)])
-                        labels.append(labels[len(labels) % max(1, len(labels) - 1)])
+                        k = len(imgs) % n_real
+                        imgs.append(imgs[k])
+                        labels.append(labels[k])
                 if imgs:
                     if not put_or_stop(
                         (np.stack(imgs), np.asarray(labels, np.int32))

@@ -126,11 +126,22 @@ class Trainer:
 
     def state_sharding(self, state) -> Any:
         """Replicate everything except the class-sharded classifier."""
+        return jax.tree.map(
+            lambda spec: NamedSharding(self.mesh, spec),
+            self._state_specs(state),
+        )
+
+    @staticmethod
+    def _state_specs(state) -> Any:
+        """PartitionSpec per state leaf: classifier-path leaves (params AND
+        their optimizer slots) shard classes over 'model'; everything else
+        replicates. ONE rule shared by state_sharding and the step's
+        shard_map in/out specs."""
         def spec_for(path, leaf):
             keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
             if "classifier" in keys:
-                return NamedSharding(self.mesh, P(None, "model"))
-            return NamedSharding(self.mesh, P())
+                return P(None, "model")
+            return P()
 
         return jax.tree_util.tree_map_with_path(spec_for, state)
 
@@ -291,28 +302,10 @@ class Trainer:
             }
             return new_state, {"loss": loss, "accuracy": aux["accuracy"]}
 
-        state_spec_params = {
-            "backbone": P(),
-            "classifier": P(None, "model"),
-        }
-
-        def opt_spec(tree):
-            # optimizer state mirrors param structure; shard classifier slots
-            return jax.tree.map(
-                lambda _: P(), tree
-            )
-
         # Build in/out specs lazily on first call from the concrete state
         # pytree (optimizer state structure depends on optax internals), then
         # cache the jitted program — recompiles only if the structure changes.
-        def make_specs(state):
-            def spec_for(path, leaf):
-                keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
-                if "classifier" in keys:
-                    return P(None, "model")
-                return P()
-
-            return jax.tree_util.tree_map_with_path(spec_for, state)
+        make_specs = self._state_specs
 
         cache: dict = {}
 

@@ -56,3 +56,32 @@ def list_images(directory: str) -> list[str]:
         for f in sorted(os.listdir(directory))
         if os.path.splitext(f)[1].lower() in VALID_EXTENSIONS
     ]
+
+
+# ------------------------------------------------------------- weight npz
+
+def save_npz_variables(path: str, variables) -> None:
+    """Flax variable tree -> flattened plain-array .npz (the framework's
+    native weight format: '/'-joined key paths, no pickled objects)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables)
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    # write through a file handle: np.savez(str) silently APPENDS '.npz'
+    # when the suffix is missing, so the exact path the caller prints (and
+    # later loads) would not exist
+    with open(path, "wb") as f:
+        np.savez(f, **{"/".join(k): np.asarray(v) for k, v in flat.items()})
+
+
+def load_npz_variables(path: str) -> dict:
+    """Inverse of save_npz_variables. allow_pickle=False: plain-array
+    archives only — never execute pickled code from a weights path."""
+    import flax
+
+    blob = np.load(path, allow_pickle=False)
+    return flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): blob[k] for k in blob.files}
+    )

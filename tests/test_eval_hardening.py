@@ -91,8 +91,10 @@ def test_subsampled_gallery_open_set(adaface_corpus):
         gallery, probes, negatives, THRESHOLDS, n_enrolled=10, seed=0
     )
     assert out["n_enrolled"] == 10
-    # half the identities are now open-set impostors
-    assert out["n_open_set_identities"] == len(negatives) + (len(gallery) - 10)
+    # half the identities are now open-set impostors; the stat counts
+    # IDENTITIES only — not the negative-corpus category keys ('real',
+    # 'lfw'), which an earlier version folded in
+    assert out["n_open_set_identities"] == len(gallery) - 10
     # enrolled probes still identify; impostors must not score like genuines
     assert out["rank1_accuracy"] > 0.9
     assert out["impostor_mean"] < out["genuine_mean"]

@@ -29,6 +29,19 @@ def test_resize_matches_cv2_upsample(rng):
         np.testing.assert_allclose(ours[i], golden, atol=1e-2, rtol=1e-4)
 
 
+def test_resize_matches_cv2_downsample(rng):
+    """Downscale parity needs antialias=False — jax.image.resize's default
+    antialiased triangle kernel diverges from cv2.INTER_LINEAR's fixed 2x2
+    sampling exactly when crops are larger than the model input."""
+    imgs = rng.integers(0, 256, size=(2, 200, 176, 3), dtype=np.uint8)
+    ours = np.asarray(resize_bilinear(imgs, 112, 112))
+    for i in range(2):
+        golden = cv2.resize(
+            imgs[i].astype(np.float32), (112, 112), interpolation=cv2.INTER_LINEAR
+        )
+        np.testing.assert_allclose(ours[i], golden, atol=1e-2, rtol=1e-4)
+
+
 def test_normalize_matches_both_reference_formulas(rng):
     faces = rng.integers(0, 256, size=(3, 112, 112, 3), dtype=np.uint8)
     out = np.asarray(normalize_face_batch(faces))
