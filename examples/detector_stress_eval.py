@@ -37,7 +37,10 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--weights", default=None)
     p.add_argument("--retrain", action="store_true")
-    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--steps", type=int, default=1500,
+                   help="per-net training steps; 600 underfits the "
+                        "corrected (genuinely crowded) renderer — the "
+                        "shipped weights used 1500")
     p.add_argument("--n_scenes", type=int, default=12)
     p.add_argument("--output_dir", default=os.path.join(REPO, "reports",
                                                         "detector_stress"))

@@ -41,7 +41,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
-    from facerecognitionpipeline_tpu.ops.nms import nms_mask, topk_boxes
     from facerecognitionpipeline_tpu.ops.warp import crop_resize
 
     B, DET = args.b, args.det

@@ -163,17 +163,25 @@ def main() -> int:
     hard = {}
     for model in models:
         gal, pos, neg = load_corpus(model)
-        other = models[(models.index(model) + 1) % len(models)]
-        _, other_pos, _ = load_corpus(other)
         hard[model] = {
             "noise_sweep": noise_sweep(gal, pos, neg, DEFAULT_THRESHOLDS),
             "subsampled_gallery_10": subsampled_gallery(
                 gal, pos, neg, DEFAULT_THRESHOLDS, n_enrolled=10
             ),
-            "cross_model_impostors": {
-                "impostor_model": other,
-                **cross_model_impostors(gal, pos, other_pos, DEFAULT_THRESHOLDS, neg),
-            },
+        }
+        if len(models) < 2:
+            # with one model, 'other' would be the model itself and its own
+            # genuine probes would score as impostors — a degenerate
+            # protocol that reads as a model defect; skip with a note
+            hard[model]["cross_model_impostors"] = {
+                "skipped": "needs >= 2 model corpora"
+            }
+            continue
+        other = models[(models.index(model) + 1) % len(models)]
+        _, other_pos, _ = load_corpus(other)
+        hard[model]["cross_model_impostors"] = {
+            "impostor_model": other,
+            **cross_model_impostors(gal, pos, other_pos, DEFAULT_THRESHOLDS, neg),
         }
     with open(os.path.join(args.output_dir, "hard_variants.json"), "w") as f:
         json.dump(hard, f, indent=2)

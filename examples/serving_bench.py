@@ -57,27 +57,37 @@ def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
     counts = [0] * n_clients
     stop = time.perf_counter() + seconds
 
+    errors: list = []
+
     def worker(ci: int):
+        # collected errors, not assert: an assert kills ONLY this thread, so
+        # the printed row would claim n_clients while a partial fleet ran
+        # (and python -O strips asserts entirely) — same fix as
+        # serving_host_ceiling.py
         i = 0
         session = requests.Session()
-        while time.perf_counter() < stop:
-            path, body, headers = payloads[(ci + i) % len(payloads)]
-            t0 = time.perf_counter()
-            if headers is None:
-                r = session.post(
-                    f"{url}{path}",
-                    json={"frame": body, "frame_count": i},
-                    timeout=120,
-                )
-            else:
-                r = session.post(
-                    f"{url}{path}", data=body, headers=headers, timeout=120
-                )
-            dt = time.perf_counter() - t0
-            assert r.status_code == 200, r.text[:200]
-            latencies.append(dt)
-            counts[ci] += 1
-            i += 1
+        try:
+            while time.perf_counter() < stop:
+                path, body, headers = payloads[(ci + i) % len(payloads)]
+                t0 = time.perf_counter()
+                if headers is None:
+                    r = session.post(
+                        f"{url}{path}",
+                        json={"frame": body, "frame_count": i},
+                        timeout=120,
+                    )
+                else:
+                    r = session.post(
+                        f"{url}{path}", data=body, headers=headers, timeout=120
+                    )
+                dt = time.perf_counter() - t0
+                if r.status_code != 200:
+                    raise RuntimeError(f"HTTP {r.status_code}: {r.text[:200]}")
+                latencies.append(dt)
+                counts[ci] += 1
+                i += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
 
     threads = [threading.Thread(target=worker, args=(c,)) for c in range(n_clients)]
     t0 = time.perf_counter()
@@ -86,6 +96,8 @@ def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
+    if errors:
+        raise SystemExit(f"measurement invalid, worker errors: {errors[:3]}")
     lat = np.array(latencies) * 1000
     return {
         "clients": n_clients,

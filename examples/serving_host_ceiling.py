@@ -45,9 +45,19 @@ class ZeroCostEngine:
     face per frame, everything else padding (mirrors tests/test_server.py
     FakeEngine, kept dependency-free here)."""
 
-    def __init__(self, max_faces: int = 16, k: int = 3):
+    def __init__(self, max_faces: int = 16, k: int = 3,
+                 input_format: str = "rgb"):
         self.max_faces = max_faces
         self.k = k
+        # match the transport under test: with input_format='i420' the
+        # server ships raw i420 payloads straight through, exactly like the
+        # real raw-i420 + --transport i420 configuration this ceiling is
+        # compared against — a default-'rgb' stub made every request pay an
+        # i420->RGB host conversion the real curve never pays
+        self.input_format = input_format
+
+    def host_frame_shape(self, h, w):
+        return (h * 3 // 2, w) if self.input_format == "i420" else (h, w, 3)
 
     def process_frames(self, frames, templates, valid, gallery_k=3):
         b = int(frames.shape[0])
@@ -85,6 +95,9 @@ def main() -> int:
     ap.add_argument("--clients", type=int, nargs="+", default=[1, 4, 8, 12])
     ap.add_argument("--seconds", type=float, default=12.0)
     ap.add_argument("--det", type=int, default=640)
+    ap.add_argument("--transport", choices=("rgb", "i420"), default="i420",
+                    help="i420 (default) matches the raw-i420 serving "
+                         "configuration this ceiling is compared against")
     args = ap.parse_args()
 
     from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
@@ -107,10 +120,11 @@ def main() -> int:
     srv = FaceRecognitionServer(
         gallery=gallery,
         output_dir=os.path.join(tmp, "sessions"),
-        engine=ZeroCostEngine(),
+        engine=ZeroCostEngine(input_format=args.transport),
         det_size=(det, det),
         batch_max=8,
         batch_wait_ms=5.0,
+        transport=args.transport,
     )
     httpd = serve(srv, host="127.0.0.1", port=0)
     port = httpd.server_address[1]

@@ -42,14 +42,24 @@ def main() -> int:
         build_backbone,
     )
     from facerecognitionpipeline_tpu.models.torch_import import (
+        convert_statedict,
         detect_architecture,
-        load_adaface_checkpoint,
         strip_prefix,
     )
     from tests.torch_ref import make_reference
 
-    blob = torch.load(args.checkpoint, map_location="cpu",
-                      weights_only=not args.trusted)
+    try:
+        blob = torch.load(args.checkpoint, map_location="cpu",
+                          weights_only=True)
+    except Exception:
+        if not args.trusted:
+            raise SystemExit(
+                f"{args.checkpoint}: not loadable with weights_only=True "
+                "(it pickles non-tensor objects). If this checkpoint comes "
+                "from a source you trust, re-run with --trusted."
+            )
+        blob = torch.load(args.checkpoint, map_location="cpu",
+                          weights_only=False)
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
     sd = strip_prefix(sd)
 
@@ -58,9 +68,9 @@ def main() -> int:
         arch = detect_architecture(sd)
         print(f"inferred architecture: {arch}")
 
-    variables = load_adaface_checkpoint(
-        args.checkpoint, arch, trusted=args.trusted
-    )
+    # convert from the ALREADY-loaded statedict: load_adaface_checkpoint
+    # would torch.load the multi-hundred-MB file a second time
+    variables = convert_statedict(sd, arch)
 
     # torch side: reassemble the zoo module and load the same statedict
     cfg = BACKBONE_CONFIGS[arch]

@@ -295,7 +295,9 @@ def render_stress_training_scene(
     # distribution leaves the cascade firing on face-like blobs in empty
     # scenes (measured 2.8 fp/img at the operating point before this; 20%
     # pure-negative training cut it to 1.6, 30% to 0.17 — see
-    # reports/detector_stress).
+    # reports/detector_stress). NOTE: detector_stress_eval's --retrain
+    # routes only half its scenes through this renderer, so the NET
+    # pure-negative fraction of the shipped weights' training mix is ~15%.
     n = 0 if rng.random() < 0.3 else int(rng.integers(1, 4))
     contrast = float(rng.uniform(0.45, 1.0))
     boxes, lms = _place_faces(
