@@ -1,5 +1,6 @@
 """Streaming server end-to-end over real HTTP with a deterministic engine."""
 
+import base64
 import json
 import os
 import threading
@@ -404,6 +405,83 @@ def test_batcher_stop_fails_stranded_futures(rng):
     for f in (f_ingress, f_ready, f_carry, f_done):
         with pytest.raises(RuntimeError, match="stopped"):
             f.result(timeout=1)
+
+
+def test_concurrent_clients_no_errors(server, rng):
+    """Hammer the server from 8 threads mixing b64/raw transports and
+    malformed payloads: every well-formed request must return 200 and every
+    malformed one 400 — never a 500. Locks in the shared-rec_result dict
+    race (tracker.mark_recognized copy) and the response-shape guarantees
+    under real multi-client interleaving."""
+    import concurrent.futures as cf
+
+    from facerecognitionpipeline_tpu.serve import rawproto
+
+    srv, url, tmp_path = server
+    requests.post(f"{url}/init_session", json={"session_name": "hammer"},
+                  timeout=10)
+    frame = rng.integers(0, 256, (640, 640, 3), dtype=np.uint8)
+    ok, enc = _cv2().imencode(".jpg", frame[:, :, ::-1])
+    b64 = base64.b64encode(enc.tobytes()).decode()
+    raw = np.ascontiguousarray(frame).tobytes()
+    raw_headers = {
+        "Content-Type": "application/octet-stream",
+        rawproto.HEADER_FORMAT: "rgb24",
+        rawproto.HEADER_WIDTH: "640",
+        rawproto.HEADER_HEIGHT: "640",
+        rawproto.HEADER_SCALE: "1.0",
+    }
+    errors: list = []
+
+    def client(ci: int):
+        s = requests.Session()
+        for i in range(12):
+            kind = (ci + i) % 4
+            try:
+                if kind == 0:
+                    r = s.post(f"{url}/process_frame",
+                               json={"frame": b64, "frame_count": i},
+                               timeout=30)
+                    expect = 200
+                elif kind == 1:
+                    r = s.post(f"{url}/process_frame_raw", data=raw,
+                               headers=raw_headers, timeout=30)
+                    expect = 200
+                elif kind == 2:  # malformed: NaN scale
+                    r = s.post(f"{url}/process_frame_raw", data=raw,
+                               headers={**raw_headers,
+                                        rawproto.HEADER_SCALE: "nan"},
+                               timeout=30)
+                    expect = 400
+                else:  # malformed: garbage b64
+                    r = s.post(f"{url}/process_frame",
+                               json={"frame": "!!notb64!!"}, timeout=30)
+                    expect = 400
+                if r.status_code != expect:
+                    errors.append(
+                        f"client {ci} req {i} kind {kind}: "
+                        f"{r.status_code} != {expect}: {r.text[:120]}"
+                    )
+                elif expect == 200:
+                    body = r.json()
+                    # response shape stays consistent mid-interleaving: no
+                    # io-private keys may leak into recognized_tracks
+                    for v in body["recognized_tracks"].values():
+                        leaked = [k for k in v if k.startswith("_")]
+                        if leaked:
+                            errors.append(f"leaked private keys: {leaked}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"client {ci} req {i}: {type(e).__name__}: {e}")
+
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(client, range(8)))
+    assert not errors, errors[:5]
+
+
+def _cv2():
+    import cv2
+
+    return cv2
 
 
 def test_batcher_refuses_restart_after_stop(rng):
