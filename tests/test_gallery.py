@@ -146,19 +146,22 @@ def test_backup_roundtrip(gallery, tmp_path):
     )
 
 
-def test_statistics(gallery):
+def test_statistics(gallery, tmp_path):
     stats = gallery.get_statistics()
     assert stats["num_students"] == 3
     assert stats["total_embeddings"] == 15
     assert stats["avg_embeddings_per_student"] == 5.0
+    # tmp_path, not a fixed /tmp name: GalleryManager pickle-loads whatever
+    # already sits at its path, so a predictable world-writable location is
+    # both flaky and a pickle-execution hazard
     assert GalleryManager(
-        gallery_path="/tmp/__nonexistent_gallery__/g.pkl", verbose=False
+        gallery_path=str(tmp_path / "empty" / "g.pkl"), verbose=False
     ).get_statistics()["num_students"] == 0
 
 
-def test_quality_filter_and_outliers(rng):
+def test_quality_filter_and_outliers(rng, tmp_path):
     g = GalleryManager(
-        gallery_path="/tmp/__nonexistent_gallery2__/g.pkl",
+        gallery_path=str(tmp_path / "g.pkl"),
         aggregation_method="weighted_mean",
         verbose=False,
     )

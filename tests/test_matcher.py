@@ -146,8 +146,8 @@ def test_match_single_image_with_stub_detector(tmp_path, embedder, gallery, peop
     assert os.path.exists(result["visualization_path"])
 
 
-def test_invalid_aggregation():
+def test_invalid_aggregation(tmp_path):
     with pytest.raises(ValueError):
         FaceMatcher(gallery=GalleryManager(
-            gallery_path="/tmp/__nx__/g.pkl", verbose=False),
+            gallery_path=str(tmp_path / "g.pkl"), verbose=False),
             embedder=object(), aggregation_method="bogus")

@@ -58,8 +58,10 @@ class FakeEngine:
             out["quality_metrics"]["det_score"][i, 0] = 0.95
             out["face_valid"][i, 0] = True
             out["quality_ok"][i, 0] = True
-            out["match_scores"][i, 0] = [0.92, 0.3, 0.1]
-            out["match_idx"][i, 0] = [0, 1, min(2, k - 1)]
+            # k-length rows so gallery_k=1/2 callers exercise the fake
+            # instead of crashing on a (3,)->(k,) broadcast
+            out["match_scores"][i, 0] = [0.92, 0.3, 0.1][:k] + [0.0] * (k - 3)
+            out["match_idx"][i, 0] = ([0, 1, 2] + list(range(3, k)))[:k]
         return out
 
 
@@ -246,8 +248,12 @@ def test_raw_transport_rgb24_and_i420(server, rng):
 
     srv, url, tmp_path = server
     requests.post(f"{url}/init_session", json={"session_name": "raw1"}, timeout=10)
-    frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    # 1280x960 -> scale 0.5: the /scale mapping must be EXERCISED, not an
+    # identity (a 480x640 frame letterboxes at scale 1.0, where dropping
+    # the division entirely would still pass)
+    frame = rng.integers(0, 256, (960, 1280, 3), dtype=np.uint8)
     canvas, scale = rawproto.letterbox_rgb(frame, (640, 640))
+    assert scale != 1.0
 
     def headers(fmt):
         return {

@@ -150,11 +150,15 @@ def test_folder_batches_abandoned_consumer_stops_producer(tmp_path, rng):
             img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
             cv2.imwrite(str(d / f"{i}.png"), img)
     ds = FolderDataset(str(tmp_path))
-    before = threading.active_count()
+    # track the SPECIFIC thread the generator spawns — the global
+    # active_count() races with unrelated library threads (JAX/urllib3
+    # pools) starting or exiting in this shared test process
+    before = set(threading.enumerate())
     it = folder_batches(ds, batch_size=4, epochs=None, prefetch=1)
     next(it)  # producer now racing to fill the size-1 queue
+    spawned = [t for t in threading.enumerate() if t not in before]
+    assert spawned, "folder_batches spawned no producer thread?"
     it.close()  # abandon: fires the generator's finally -> stop.set()
-    deadline = time.monotonic() + 5.0
-    while threading.active_count() > before and time.monotonic() < deadline:
-        time.sleep(0.05)
-    assert threading.active_count() <= before
+    for t in spawned:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in spawned)
