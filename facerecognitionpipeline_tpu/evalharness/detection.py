@@ -279,7 +279,7 @@ STRESS_CATEGORIES = (
 
 
 def render_stress_training_scene(
-    rng: np.random.Generator, size: int = 160
+    rng: np.random.Generator, size: int = 160, pure_negative_p: float = 0.3
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Training scene with the stress axes mixed in (occluders over faces,
     face-like distractors as hard negatives, contrast/noise variation).
@@ -298,7 +298,7 @@ def render_stress_training_scene(
     # reports/detector_stress). NOTE: detector_stress_eval's --retrain
     # routes only half its scenes through this renderer, so the NET
     # pure-negative fraction of the shipped weights' training mix is ~15%.
-    n = 0 if rng.random() < 0.3 else int(rng.integers(1, 4))
+    n = 0 if rng.random() < pure_negative_p else int(rng.integers(1, 4))
     contrast = float(rng.uniform(0.45, 1.0))
     boxes, lms = _place_faces(
         img, rng, size, n=n, smin=24, smax=72,
