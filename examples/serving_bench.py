@@ -50,7 +50,8 @@ def encode_frame(frame_rgb: np.ndarray, image_format: str, det: int):
     return "/process_frame", _encode_image_base64(frame_rgb, image_format), None
 
 
-def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
+def run_clients(url: str, n_clients: int, seconds: float, payloads,
+                rss_interval: float = 0.0) -> dict:
     import requests
 
     latencies: list = []
@@ -58,6 +59,22 @@ def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
     stop = time.perf_counter() + seconds
 
     errors: list = []
+    rss_curve: list = []
+    if rss_interval > 0:
+        import psutil
+
+        proc = psutil.Process()
+
+        def sampler():
+            while time.perf_counter() < stop:
+                rss_curve.append(
+                    {"t": round(seconds - (stop - time.perf_counter()), 1),
+                     "rss_mb": round(proc.memory_info().rss / 1e6, 1),
+                     "reqs": int(sum(counts))}
+                )
+                time.sleep(min(rss_interval, max(0.1, stop - time.perf_counter())))
+
+        threading.Thread(target=sampler, daemon=True).start()
 
     def worker(ci: int):
         # collected errors, not assert: an assert kills ONLY this thread, so
@@ -99,13 +116,26 @@ def run_clients(url: str, n_clients: int, seconds: float, payloads) -> dict:
     if errors:
         raise SystemExit(f"measurement invalid, worker errors: {errors[:3]}")
     lat = np.array(latencies) * 1000
-    return {
+    out = {
         "clients": n_clients,
         "requests": int(sum(counts)),
         "req_per_sec": round(sum(counts) / wall, 2),
         "latency_p50_ms": round(float(np.percentile(lat, 50)), 1),
         "latency_p95_ms": round(float(np.percentile(lat, 95)), 1),
     }
+    if rss_curve:
+        # Leak triage (PERFORMANCE.md "Serving memory behavior"): on the
+        # tunneled bench rig, growth ~= payload_bytes x requests is the
+        # axon client's per-transfer retention, NOT a framework leak — the
+        # same load on the true-CPU backend holds RSS flat
+        # (tests/test_serving_leak.py).
+        grown = rss_curve[-1]["rss_mb"] - rss_curve[0]["rss_mb"]
+        dreq = max(1, rss_curve[-1]["reqs"] - rss_curve[0]["reqs"])
+        out["rss_first_mb"] = rss_curve[0]["rss_mb"]
+        out["rss_last_mb"] = rss_curve[-1]["rss_mb"]
+        out["rss_kb_per_req"] = round(grown * 1e3 / dreq, 1)
+        out["rss_curve"] = rss_curve
+    return out
 
 
 def main() -> int:
@@ -120,6 +150,11 @@ def main() -> int:
     p.add_argument("--transport", choices=("rgb", "i420"), default="rgb")
     p.add_argument("--embed_budget", type=int, default=None,
                    help="per-frame embed budget (see server --embed_budget)")
+    p.add_argument("--rss_interval", type=float, default=0.0,
+                   help="sample server RSS every N seconds during the "
+                        "measured run (soak mode; see PERFORMANCE.md "
+                        "'Serving memory behavior' for interpreting growth "
+                        "on the tunneled rig)")
     args = p.parse_args()
 
     from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
@@ -176,7 +211,8 @@ def main() -> int:
         for n in args.clients:
             # settle: one throwaway request per client
             run_clients(url, n, min(5.0, args.seconds / 4), payloads)
-            result = run_clients(url, n, args.seconds, payloads)
+            result = run_clients(url, n, args.seconds, payloads,
+                                 rss_interval=args.rss_interval)
             result["image_format"] = args.image_format
             result["transport"] = args.transport
             result["embed_budget"] = args.embed_budget
