@@ -42,6 +42,12 @@ def main() -> int:
                         "corrected (genuinely crowded) renderer — the "
                         "shipped weights used 1500")
     p.add_argument("--n_scenes", type=int, default=12)
+    p.add_argument("--pure_negative_p", type=float, default=0.3,
+                   help="probability a stress training scene is faceless "
+                        "(distractors only); 0.45 zeroes hard-negative "
+                        "false positives at the cost of motion-blur recall "
+                        "— see reports/detector_stress/"
+                        "pure_negative_tradeoff.md")
     p.add_argument("--output_dir", default=os.path.join(REPO, "reports",
                                                         "detector_stress"))
     args = p.parse_args()
@@ -71,7 +77,9 @@ def main() -> int:
         def mixed_scene(rng):
             if rng.random() < 0.5:
                 return render_scene(rng)
-            return render_stress_training_scene(rng)
+            return render_stress_training_scene(
+                rng, pure_negative_p=args.pure_negative_p
+            )
 
         print("Retraining cascade on stress-augmented scenes...",
               file=sys.stderr)

@@ -139,10 +139,19 @@ def main() -> int:
 
     frame = rng.integers(0, 256, (720, 1280, 3), dtype=np.uint8)
     canvas, scale = rawproto.letterbox_rgb(frame, (det, det))
-    body = rawproto.rgb_to_i420(canvas).tobytes()
+    # Ship the payload in the SAME format as the transport under test —
+    # otherwise `--transport rgb` would still send i420 planes and the
+    # server would pay a host i420->rgb conversion the real raw-rgb24
+    # configuration never pays (skewing the measured ceiling).
+    if args.transport == "i420":
+        body = rawproto.rgb_to_i420(canvas).tobytes()
+        wire_fmt = "i420"
+    else:
+        body = np.ascontiguousarray(canvas).tobytes()
+        wire_fmt = "rgb24"
     headers = {
         "Content-Type": "application/octet-stream",
-        rawproto.HEADER_FORMAT: "i420",
+        rawproto.HEADER_FORMAT: wire_fmt,
         rawproto.HEADER_WIDTH: str(det),
         rawproto.HEADER_HEIGHT: str(det),
         rawproto.HEADER_SCALE: repr(scale),

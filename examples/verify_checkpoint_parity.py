@@ -51,12 +51,16 @@ def main() -> int:
     try:
         blob = torch.load(args.checkpoint, map_location="cpu",
                           weights_only=True)
-    except Exception:
+    except (FileNotFoundError, IsADirectoryError, PermissionError):
+        raise  # not a pickle-safety problem; --trusted would not help
+    except Exception as e:
         if not args.trusted:
             raise SystemExit(
-                f"{args.checkpoint}: not loadable with weights_only=True "
-                "(it pickles non-tensor objects). If this checkpoint comes "
-                "from a source you trust, re-run with --trusted."
+                f"{args.checkpoint}: not loadable with weights_only=True.\n"
+                f"  {type(e).__name__}: {e}\n"
+                "If the error above is about pickled non-tensor objects AND "
+                "this checkpoint comes from a source you trust, re-run with "
+                "--trusted."
             )
         blob = torch.load(args.checkpoint, map_location="cpu",
                           weights_only=False)

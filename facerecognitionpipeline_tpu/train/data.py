@@ -158,7 +158,9 @@ def _folder_batches_iter(
             epoch += 1
         put_or_stop(None)
 
-    thread = threading.Thread(target=producer, daemon=True)
+    thread = threading.Thread(
+        target=producer, daemon=True, name="folder_batches_producer"
+    )
     thread.start()
     try:
         while True:

@@ -1,6 +1,5 @@
 """Streaming server end-to-end over real HTTP with a deterministic engine."""
 
-import base64
 import json
 import os
 import threading
@@ -427,8 +426,9 @@ def test_concurrent_clients_no_errors(server, rng):
     requests.post(f"{url}/init_session", json={"session_name": "hammer"},
                   timeout=10)
     frame = rng.integers(0, 256, (640, 640, 3), dtype=np.uint8)
-    ok, enc = _cv2().imencode(".jpg", frame[:, :, ::-1])
-    b64 = base64.b64encode(enc.tobytes()).decode()
+    # the PRODUCTION client encoding, not a hand-rolled copy that could
+    # drift (BGR order, jpeg quality) from what real clients send
+    b64 = _encode_image_base64(frame, image_format="jpeg")
     raw = np.ascontiguousarray(frame).tobytes()
     raw_headers = {
         "Content-Type": "application/octet-stream",
@@ -482,12 +482,6 @@ def test_concurrent_clients_no_errors(server, rng):
     with cf.ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(client, range(8)))
     assert not errors, errors[:5]
-
-
-def _cv2():
-    import cv2
-
-    return cv2
 
 
 def test_batcher_refuses_restart_after_stop(rng):

@@ -150,13 +150,17 @@ def test_folder_batches_abandoned_consumer_stops_producer(tmp_path, rng):
             img = rng.integers(0, 256, (112, 112, 3), dtype=np.uint8)
             cv2.imwrite(str(d / f"{i}.png"), img)
     ds = FolderDataset(str(tmp_path))
-    # track the SPECIFIC thread the generator spawns — the global
-    # active_count() races with unrelated library threads (JAX/urllib3
-    # pools) starting or exiting in this shared test process
+    # track the SPECIFIC thread the generator spawns BY NAME — a
+    # before/after threading.enumerate() diff would also capture any
+    # unrelated library thread (cv2/BLAS/JAX pools) that happens to start
+    # during next(it) and then spuriously fail the liveness assert below
     before = set(threading.enumerate())
     it = folder_batches(ds, batch_size=4, epochs=None, prefetch=1)
     next(it)  # producer now racing to fill the size-1 queue
-    spawned = [t for t in threading.enumerate() if t not in before]
+    spawned = [
+        t for t in threading.enumerate()
+        if t not in before and t.name == "folder_batches_producer"
+    ]
     assert spawned, "folder_batches spawned no producer thread?"
     it.close()  # abandon: fires the generator's finally -> stop.set()
     for t in spawned:
