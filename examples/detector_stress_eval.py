@@ -48,6 +48,11 @@ def main() -> int:
                         "false positives at the cost of motion-blur recall "
                         "— see reports/detector_stress/"
                         "pure_negative_tradeoff.md")
+    p.add_argument("--class_balance", default=None, metavar="POS,PART",
+                   help="fix the patch-label quota per batch (e.g. "
+                        "'0.24,0.23') so raising --pure_negative_p adds "
+                        "negative diversity without starving positive "
+                        "supervision")
     p.add_argument("--output_dir", default=os.path.join(REPO, "reports",
                                                         "detector_stress"))
     args = p.parse_args()
@@ -83,8 +88,13 @@ def main() -> int:
 
         print("Retraining cascade on stress-augmented scenes...",
               file=sys.stderr)
+        balance = (
+            tuple(float(x) for x in args.class_balance.split(","))
+            if args.class_balance else None
+        )
         variables = train_detector(
             steps=args.steps, scene_fn=mixed_scene, ohem_fraction=0.7,
+            class_balance=balance,
         )
         det = make_detector(base_weights)  # reuse config
         det.variables = variables

@@ -210,13 +210,29 @@ def sample_patches(
     batch: int,
     scene_fn: Optional[Callable] = None,
     with_landmarks: bool = False,
+    class_balance: Optional[Tuple[float, float]] = None,
 ) -> Dict[str, np.ndarray]:
     """MTCNN patch sampler. Returns images [B,p,p,3] f32 (raw 0-255 RGB),
     cls labels [B] (1 pos / 0 neg / -1 part: ignored by cls loss), reg
-    targets [B,4], reg mask [B], landmark targets [B,5,2] + mask [B]."""
+    targets [B,4], reg mask [B], landmark targets [B,5,2] + mask [B].
+
+    class_balance — optional (pos_fraction, part_fraction) quota. Without
+    it the batch's label mix follows the scene distribution, so raising the
+    stress renderer's pure-negative fraction STARVES positives (measured:
+    pos 23.7% -> 20.3% of patches going pure_negative_p 0.30 -> 0.45) and
+    the classifier turns conservative exactly on weak-evidence faces —
+    the blur/occlusion-recall cost documented in
+    reports/detector_stress/pure_negative_tradeoff.md. With a quota the
+    batch always carries the same positive supervision and extra faceless
+    scenes only add negative DIVERSITY."""
     import cv2
 
     scene_fn = scene_fn or (lambda r: render_scene(r))
+    quota = None
+    if class_balance is not None:
+        n_pos = int(round(batch * class_balance[0]))
+        n_part = int(round(batch * class_balance[1]))
+        quota = {1: n_pos, -1: n_part, 0: batch - n_pos - n_part}
     imgs = np.zeros((batch, patch_size, patch_size, 3), np.float32)
     cls = np.zeros(batch, np.int32)
     reg = np.zeros((batch, 4), np.float32)
@@ -238,6 +254,14 @@ def sample_patches(
             if i >= batch:
                 break
             r = rng.random()
+            if quota is not None:
+                want_face = quota[1] > 0 or quota[-1] > 0
+                if not want_face:
+                    r = 1.0  # only negatives still needed
+                elif quota[0] <= 0:
+                    if not len(boxes):
+                        break  # faceless scene can't fill a face quota
+                    r = 0.0  # force the jittered-gt branch
             if r < 0.55 and len(boxes):
                 j = rng.integers(0, len(boxes))
                 bx = boxes[j]
@@ -282,6 +306,10 @@ def sample_patches(
                 label = -1  # part: reg only
             else:
                 continue
+            if quota is not None:
+                if quota[label] <= 0:
+                    continue
+                quota[label] -= 1
 
             imgs[i] = crop
             cls[i] = label
@@ -372,6 +400,7 @@ def train_net(
     scene_fn: Optional[Callable] = None,
     log_every: int = 100,
     ohem_fraction: float = 1.0,
+    class_balance: Optional[Tuple[float, float]] = None,
 ) -> dict:
     """Train one cascade net on synthetic patches; returns its variables."""
     rng = np.random.default_rng(seed)
@@ -393,7 +422,7 @@ def train_net(
     for i in range(steps):
         data = sample_patches(
             rng, patch_size, batch, scene_fn=scene_fn,
-            with_landmarks=with_landmarks,
+            with_landmarks=with_landmarks, class_balance=class_balance,
         )
         data = {k: jnp.asarray(v) for k, v in data.items()}
         params, opt_state, loss, acc = step(params, opt_state, data)
@@ -412,16 +441,20 @@ def train_detector(
     scene_fn: Optional[Callable] = None,
     log_every: int = 100,
     ohem_fraction: float = 1.0,
+    class_balance: Optional[Tuple[float, float]] = None,
 ) -> dict:
     """Train the full cascade; returns MTCNNDetector-compatible variables."""
     print("Training P-Net...")
     pnet = train_net(PNet(), 12, steps, batch, seed=seed, scene_fn=scene_fn,
-                     log_every=log_every, ohem_fraction=ohem_fraction)
+                     log_every=log_every, ohem_fraction=ohem_fraction,
+                     class_balance=class_balance)
     print("Training R-Net...")
     rnet = train_net(RNet(), 24, steps, batch, seed=seed + 1, scene_fn=scene_fn,
-                     log_every=log_every, ohem_fraction=ohem_fraction)
+                     log_every=log_every, ohem_fraction=ohem_fraction,
+                     class_balance=class_balance)
     print("Training O-Net...")
     onet = train_net(ONet(), 48, steps, batch, seed=seed + 2,
                      with_landmarks=True, scene_fn=scene_fn,
-                     log_every=log_every, ohem_fraction=ohem_fraction)
+                     log_every=log_every, ohem_fraction=ohem_fraction,
+                     class_balance=class_balance)
     return {"pnet": pnet, "rnet": rnet, "onet": onet}

@@ -188,3 +188,51 @@ def test_shipped_weights_hard_negative_rate(base_detector):
         operating_threshold=0.5,
     )
     assert r["operating_point"]["false_positives_per_image"] <= 4.0
+
+
+# ------------------------------------------------------- class-balanced quota
+
+
+def test_sample_patches_class_balance_invariant_to_pure_negative_fraction():
+    """The (pos, part) quota must hold the batch label mix constant as the
+    pure-negative scene fraction rises — without it, measured positive
+    supervision drops 23.7% -> 20.3% going pure_negative_p 0.30 -> 0.45
+    (the mechanism behind the blur-recall trade-off in
+    reports/detector_stress/pure_negative_tradeoff.md)."""
+    from facerecognitionpipeline_tpu.train.detector_train import (
+        render_scene,
+        sample_patches,
+    )
+
+    def mixed(p):
+        def fn(r):
+            if r.random() < 0.5:
+                return render_scene(r)
+            return render_stress_training_scene(r, pure_negative_p=p)
+        return fn
+
+    mixes = {}
+    for p in (0.3, 0.45):
+        rng = np.random.default_rng(0)
+        batch = sample_patches(rng, 12, 192, scene_fn=mixed(p),
+                               class_balance=(0.25, 0.25))
+        cls = batch["cls"]
+        mixes[p] = (int((cls == 1).sum()), int((cls == -1).sum()),
+                    int((cls == 0).sum()))
+    # exact quota: 48 pos, 48 part, 96 neg at either fraction
+    assert mixes[0.3] == mixes[0.45] == (48, 48, 96)
+
+
+def test_sample_patches_unbalanced_default_unchanged():
+    """Without class_balance the sampler keeps its historical behavior (the
+    shipped weights' training recipe must stay reproducible)."""
+    from facerecognitionpipeline_tpu.train.detector_train import sample_patches
+
+    rng = np.random.default_rng(1)
+    batch = sample_patches(rng, 12, 64)
+    cls = batch["cls"]
+    assert set(np.unique(cls)).issubset({-1, 0, 1})
+    assert (cls == 1).sum() > 0 and (cls == 0).sum() > 0
+    # regression masks only on non-negative labels
+    assert not batch["reg_mask"][cls == 0].any()
+    assert batch["reg_mask"][cls == 1].all()
