@@ -190,6 +190,44 @@ def test_shipped_weights_hard_negative_rate(base_detector):
     assert r["operating_point"]["false_positives_per_image"] <= 4.0
 
 
+BALANCED_WEIGHTS = os.path.join(
+    os.path.dirname(WEIGHTS), "mtcnn_stress_balanced.npz"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(BALANCED_WEIGHTS),
+    reason="balanced stress weights not present",
+)
+def test_balanced_weights_rejection_profile():
+    """pretrained/mtcnn_stress_balanced.npz (pure_negative_p=0.45 +
+    class_balance quota) trades a little motion-blur recall for roughly
+    half the faceless-scene false positives — pin the profile it ships
+    for (reports/detector_stress/pure_negative_tradeoff.md)."""
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+
+    det = MTCNNDetector(
+        det_size=(320, 320), max_faces=32, min_face_size=18,
+        weights_path=BALANCED_WEIGHTS, stage_thresholds=(0.6, 0.6, 0.5),
+    )
+    hn = evaluate_detector_category(
+        det, "hard_negatives", n_scenes=5, seed=1, operating_threshold=0.5,
+    )
+    # shipped recall-max weights allow <= 4.0 here; the balanced variant
+    # exists to do meaningfully better on faceless scenes
+    assert hn["operating_point"]["false_positives_per_image"] <= 1.0, (
+        hn["operating_point"]
+    )
+    mb = evaluate_detector_category(
+        det, "motion_blur", n_scenes=5, seed=1, operating_threshold=0.5,
+    )
+    assert mb["operating_point"]["recall"] >= 0.7, mb["operating_point"]
+    oc = evaluate_detector_category(
+        det, "occlusion", n_scenes=5, seed=1, operating_threshold=0.5,
+    )
+    assert oc["operating_point"]["recall"] >= 0.85, oc["operating_point"]
+
+
 # ------------------------------------------------------- class-balanced quota
 
 
