@@ -218,6 +218,14 @@ class MTCNNDetector:
         self.rnet_crop_downscale = int(rnet_crop_downscale)
         self.stage1_keep = int(stage1_keep)
         self.stage2_keep = int(stage2_keep)
+        # fail at construction, not with an opaque lax.top_k trace error
+        # ('k > operand size') minutes into the first jitted detect
+        if not (self.max_faces <= self.stage2_keep <= self.stage1_keep):
+            raise ValueError(
+                f"candidate budgets must narrow through the cascade: "
+                f"max_faces={self.max_faces} <= stage2_keep="
+                f"{self.stage2_keep} <= stage1_keep={self.stage1_keep}"
+            )
         self._crop_dtype = dtype  # cascade crops run on normalized [-1,1] data
         if crop_impl == "auto":
             crop_impl = (
@@ -283,6 +291,14 @@ class MTCNNDetector:
         while min(h, w) * s >= 12.0:
             self.scales.append(s)
             s *= scale_factor
+        if not self.scales:
+            # an empty pyramid would crash in jnp.concatenate([]) deep
+            # inside the first jitted cascade, far from the bad argument
+            raise ValueError(
+                f"min_face_size={min_face_size} leaves no pyramid scale "
+                f"for det_size={det_size} (need min_face_size <= "
+                f"{min(h, w)}); lower min_face_size or raise det_size"
+            )
 
         self.pack_pyramid = bool(pack_pyramid)
         if self.pack_pyramid:
@@ -347,6 +363,40 @@ class MTCNNDetector:
             ph, pw = sh, sw
         return levels
 
+    def _pnet_proposals(self, prob, reg, sx, sy):
+        """Decode one scale's P-net maps into P_PER_SCALE padded proposals.
+
+        Shared by `_stage1` (per-scale maps, sx == sy == scale) and
+        `_stage1_packed` (canvas submaps, true per-axis factors) so the
+        12 px window / stride-2 decode convention and the pad fill can
+        never silently diverge between the two pyramid paths."""
+        fh, fw = prob.shape
+        k = min(P_PER_SCALE, fh * fw)
+        top_p, top_i = jax.lax.top_k(prob.reshape(-1), k)
+        rows = (top_i // fw).astype(jnp.float32)
+        cols = (top_i % fw).astype(jnp.float32)
+        x1 = cols * 2.0 / sx
+        y1 = rows * 2.0 / sy
+        x2 = (cols * 2.0 + 12.0) / sx
+        y2 = (rows * 2.0 + 12.0) / sy
+        boxes = jnp.stack([x1, y1, x2, y2], axis=1)
+        boxes = _apply_reg(boxes, reg.reshape(-1, 4)[top_i])
+        pad = P_PER_SCALE - k
+        if pad:
+            boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+            top_p = jnp.pad(top_p, (0, pad), constant_values=_NEG)
+        return boxes, top_p
+
+    def _stage1_finish(self, all_boxes, all_scores, all_valid):
+        """Concat per-scale proposals, cross-scale NMS, stage-1 top-k."""
+        boxes = jnp.concatenate(all_boxes)
+        scores = jnp.concatenate(all_scores)
+        valid = jnp.concatenate(all_valid)
+        keep = nms_mask(boxes, scores, valid, iou_threshold=0.7)
+        return topk_boxes(
+            boxes, jnp.where(keep, scores, _NEG), keep, self.stage1_keep
+        )
+
     def _stage1_packed(self, variables, img):
         """P-net ONCE over the shelf-packed pyramid canvas -> proposals.
 
@@ -370,70 +420,29 @@ class MTCNNDetector:
             a, b = oy // 2, ox // 2
             sub_p = jax.lax.slice(prob, (a, b), (a + fh, b + fw))
             sub_r = jax.lax.slice(reg, (a, b, 0), (a + fh, b + fw, 4))
-            sy, sx = sh / float(h), sw / float(w)
-            k = min(P_PER_SCALE, fh * fw)
-            top_p, top_i = jax.lax.top_k(sub_p.reshape(-1), k)
-            rows = (top_i // fw).astype(jnp.float32)
-            cols = (top_i % fw).astype(jnp.float32)
-            x1 = cols * 2.0 / sx
-            y1 = rows * 2.0 / sy
-            x2 = (cols * 2.0 + 12.0) / sx
-            y2 = (rows * 2.0 + 12.0) / sy
-            boxes = jnp.stack([x1, y1, x2, y2], axis=1)
-            boxes = _apply_reg(boxes, sub_r.reshape(-1, 4)[top_i])
-            pad = P_PER_SCALE - k
-            if pad:
-                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
-                top_p = jnp.pad(top_p, (0, pad), constant_values=_NEG)
+            boxes, top_p = self._pnet_proposals(
+                sub_p, sub_r, sx=sw / float(w), sy=sh / float(h)
+            )
             all_boxes.append(boxes)
             all_scores.append(top_p)
             all_valid.append(top_p > thr1)
 
-        boxes = jnp.concatenate(all_boxes)
-        scores = jnp.concatenate(all_scores)
-        valid = jnp.concatenate(all_valid)
-
-        keep = nms_mask(boxes, scores, valid, iou_threshold=0.7)
-        return topk_boxes(
-            boxes, jnp.where(keep, scores, _NEG), keep, self.stage1_keep
-        )
+        return self._stage1_finish(all_boxes, all_scores, all_valid)
 
     def _stage1(self, variables, img):
         """P-net over the static pyramid -> padded proposals."""
-        h, w, _ = img.shape
         all_boxes, all_scores, all_valid = [], [], []
         thr1 = self.thresholds[0]
         for scale, scaled in zip(self.scales, self._pyramid(img)):
             prob, reg = self.pnet.apply(variables["pnet"], scaled[None])
-            prob = prob[0]  # [ph, pw]
-            reg = reg[0]    # [ph, pw, 4]
-            ph, pw = prob.shape
-            k = min(P_PER_SCALE, ph * pw)
-            flat_prob = prob.reshape(-1)
-            top_p, top_i = jax.lax.top_k(flat_prob, k)
-            rows = (top_i // pw).astype(jnp.float32)
-            cols = (top_i % pw).astype(jnp.float32)
-            x1 = cols * 2.0 / scale
-            y1 = rows * 2.0 / scale
-            x2 = (cols * 2.0 + 12.0) / scale
-            y2 = (rows * 2.0 + 12.0) / scale
-            boxes = jnp.stack([x1, y1, x2, y2], axis=1)
-            boxes = _apply_reg(boxes, reg.reshape(-1, 4)[top_i])
-            pad = P_PER_SCALE - k
-            if pad:
-                boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
-                top_p = jnp.pad(top_p, (0, pad), constant_values=_NEG)
+            boxes, top_p = self._pnet_proposals(
+                prob[0], reg[0], sx=scale, sy=scale
+            )
             all_boxes.append(boxes)
             all_scores.append(top_p)
             all_valid.append(top_p > thr1)
 
-        boxes = jnp.concatenate(all_boxes)
-        scores = jnp.concatenate(all_scores)
-        valid = jnp.concatenate(all_valid)
-
-        keep = nms_mask(boxes, scores, valid, iou_threshold=0.7)
-        boxes, scores, valid = topk_boxes(boxes, jnp.where(keep, scores, _NEG), keep, self.stage1_keep)
-        return boxes, scores, valid
+        return self._stage1_finish(all_boxes, all_scores, all_valid)
 
     def _crop(self, img, boxes, out_size):
         """Candidate crop dispatch (see `crop_impl` in __init__)."""

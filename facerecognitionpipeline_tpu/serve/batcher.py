@@ -69,7 +69,18 @@ class _LazySlice:
 
     @property
     def shape(self):
-        return tuple(self._dev.shape[len(self._idx):])
+        if not self._idx:
+            return tuple(self._dev.shape)
+        # exact numpy indexing semantics (ints consume dims, slices/None
+        # keep or add them) WITHOUT touching device data: index a
+        # zero-stride host probe of the same shape. Naively dropping
+        # len(idx) leading dims mis-reports slice indices, and a consumer
+        # branching on .shape/ndim (imwrite/resize guards) takes the wrong
+        # path.
+        probe = np.broadcast_to(
+            np.empty((), np.uint8), tuple(self._dev.shape)
+        )
+        return probe[self._idx].shape
 
     @property
     def dtype(self):
@@ -133,6 +144,7 @@ class DeviceBatcher:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         self._zero_frame = None
+        self._frame_shape = None  # canonical per-frame shape, set by warmup
         self._carry = None  # overflow group held for the next dispatch
         # embed-budget fairness: the engine slides its per-frame budget
         # window by this counter so a static scene cycles faces through
@@ -229,6 +241,7 @@ class DeviceBatcher:
             if hasattr(self.engine, "host_frame_shape")
             else (h, w, 3)
         )
+        self._frame_shape = tuple(frame_shape)
         for b in self.bucket_sizes:
             out = self.engine.process_frames(
                 np.zeros((b, *frame_shape), np.uint8),
@@ -262,6 +275,27 @@ class DeviceBatcher:
                     break
                 frames.append(f2)
                 futs.append(u2)
+            # Scope malformed frames to their OWN futures: np.stack over
+            # the group is all-or-nothing, so one client's wrong-shape
+            # frame would otherwise fail every co-batched client. The
+            # warmup-recorded shape is authoritative when present (it also
+            # covers frames[0] itself being the malformed one).
+            ref = self._frame_shape or frames[0].shape
+            bad = [
+                k for k, f in enumerate(frames)
+                if f.shape != ref or f.dtype != np.uint8
+            ]
+            if bad:
+                err = ValueError(
+                    f"frame shape/dtype mismatch in transfer group: "
+                    f"expected {ref} uint8"
+                )
+                for k in bad:
+                    _fail_futures([futs[k]], err)
+                frames = [f for k, f in enumerate(frames) if k not in bad]
+                futs = [u for k, u in enumerate(futs) if k not in bad]
+                if not frames:
+                    continue
             try:
                 dev = jax.device_put(np.stack(frames))
                 # put-then-recheck (same shape as submit() and the dispatch
@@ -363,7 +397,12 @@ class DeviceBatcher:
                 snapshot = self.gallery_provider()
                 templates, valid = snapshot[0], snapshot[1]
                 gallery_ids = snapshot[2] if len(snapshot) > 2 else None
-                self._dispatch_count += 1
+                # wrap far below int32: the engine casts rotation with
+                # jnp.asarray(..., int32), which would raise OverflowError
+                # at 2**31 dispatches on a long-lived server; the budget
+                # window arithmetic is modular, so a wrap only resets the
+                # fairness phase once per ~1e9 dispatches
+                self._dispatch_count = (self._dispatch_count + 1) % (1 << 30)
                 kwargs = {}
                 if getattr(self.engine, "embed_budget", None) is not None:
                     # budget fairness: slide the engine's per-frame budget
@@ -399,6 +438,17 @@ class DeviceBatcher:
                         _fail_futures(futs, err)
             except Exception as e:
                 _fail_futures(items, e)
+        # Loop exit on stop: the carry slot is owned by this thread, and a
+        # group carried AFTER stop()'s drain already ran (possible when
+        # this thread outlived the 2 s join blocked in _drain's get and
+        # then won the race for transfer's final group) would otherwise
+        # strand its clients until their result(timeout=...) expires.
+        if self._carry is not None:
+            _fail_futures(
+                self._carry[1],
+                RuntimeError("DeviceBatcher stopped before this frame ran"),
+            )
+            self._carry = None
 
     # ------------------------------------------------------------- stage 3
 
@@ -429,12 +479,21 @@ class DeviceBatcher:
                     if k in out
                 }
                 host = jax.device_get(out)
+                from concurrent.futures import InvalidStateError
+
                 for i, fut in enumerate(items):
                     result = jax.tree.map(lambda a, i=i: a[i], host)
                     for k, v in lazy.items():
                         result[k] = _LazySlice(v, (i,))
                     if gallery_ids is not None:
                         result["gallery_ids"] = gallery_ids
-                    fut.set_result(result)
+                    try:
+                        fut.set_result(result)
+                    except InvalidStateError:
+                        # this client cancelled (raw Futures always accept
+                        # cancel()) or lost the submit()/stop() race — its
+                        # slot is dead, but the OTHER clients' computed
+                        # results must still fan out
+                        pass
             except Exception as e:
                 _fail_futures(items, e)

@@ -206,3 +206,23 @@ def test_default_weight_autodiscovery():
         det_size=(160, 160), max_faces=4, min_face_size=40, weights_path="random"
     )
     assert not det_rand.pretrained
+
+
+def test_constructor_rejects_inverted_candidate_budgets():
+    """max_faces > stage2_keep would crash with an opaque lax.top_k trace
+    error at first detect; fail at construction instead."""
+    with pytest.raises(ValueError, match="candidate budgets"):
+        MTCNNDetector(det_size=(160, 160), max_faces=128,
+                      weights_path="random")
+    with pytest.raises(ValueError, match="candidate budgets"):
+        MTCNNDetector(det_size=(160, 160), max_faces=8, stage1_keep=64,
+                      stage2_keep=96, weights_path="random")
+
+
+def test_constructor_rejects_empty_pyramid():
+    """min_face_size larger than the detection canvas leaves zero pyramid
+    scales -> jnp.concatenate([]) deep inside the first jitted cascade;
+    fail at construction with the actual bound."""
+    with pytest.raises(ValueError, match="pyramid scale"):
+        MTCNNDetector(det_size=(160, 160), min_face_size=200,
+                      weights_path="random")

@@ -663,3 +663,91 @@ def test_batcher_grouped_uploads_preserve_order(rng):
             )
     finally:
         batcher.stop()
+
+
+def test_lazy_slice_slice_index_shape(rng):
+    """.shape must follow numpy indexing semantics for SLICE indices too —
+    naively dropping len(idx) leading dims mis-reports them and shape-
+    branching consumers (imwrite/resize guards) take the wrong path."""
+    import jax.numpy as jnp
+
+    from facerecognitionpipeline_tpu.serve.batcher import _LazySlice
+
+    host = rng.standard_normal((4, 3, 8)).astype(np.float32)
+    view = _LazySlice(jnp.asarray(host))
+    sl = view[0:2]
+    assert sl.shape == (2, 3, 8)
+    np.testing.assert_array_equal(np.asarray(sl), host[0:2])
+    # a slice after an int index (tuple-applied: dev[(1, 0:2)])
+    mixed = view[1][0:2]
+    assert mixed.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(mixed), host[1, 0:2])
+
+
+def test_batcher_cancelled_future_does_not_poison_batch(rng):
+    """A client cancelling its raw Future (always succeeds pre-completion)
+    must not abort the completion fan-out for the co-batched clients."""
+    import time as _time
+
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    class SlowEchoEngine:
+        def process_frames(self, frames, templates, valid, gallery_k=3):
+            _time.sleep(0.3)  # hold the batch in flight so cancel() lands
+            b = int(frames.shape[0])
+            marker = np.asarray(frames).reshape(b, -1)[:, 0].astype(np.float32)
+            return {
+                "marker": marker,
+                "match_scores": np.zeros((b, 2, gallery_k), np.float32),
+            }
+
+    batcher = DeviceBatcher(
+        SlowEchoEngine(),
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=4,
+        max_wait_ms=50.0,
+    )
+    batcher.start()
+    try:
+        frames = [np.full((4, 4, 3), v, np.uint8) for v in (7, 11, 13)]
+        futs = [batcher.submit(f) for f in frames]
+        futs[1].cancel()
+        for k in (0, 2):
+            r = futs[k].result(timeout=30)
+            assert float(r["marker"]) == float(frames[k][0, 0, 0])
+    finally:
+        batcher.stop()
+
+
+def test_batcher_malformed_frame_scoped_to_its_own_future(rng):
+    """One client's wrong-shape frame must fail ONLY that client — not every
+    co-batched future via the all-or-nothing np.stack."""
+    from facerecognitionpipeline_tpu.serve.batcher import DeviceBatcher
+
+    class EchoEngine:
+        def process_frames(self, frames, templates, valid, gallery_k=3):
+            b = int(frames.shape[0])
+            marker = np.asarray(frames).reshape(b, -1)[:, 0].astype(np.float32)
+            return {
+                "marker": marker,
+                "match_scores": np.zeros((b, 2, gallery_k), np.float32),
+            }
+
+    batcher = DeviceBatcher(
+        EchoEngine(),
+        lambda: (np.zeros((2, 4), np.float32), np.ones(2, bool)),
+        max_batch=4,
+        max_wait_ms=15.0,
+    )
+    batcher.warmup((4, 4))  # records the canonical (4, 4, 3) frame shape
+    batcher.start()
+    try:
+        good1 = batcher.submit(np.full((4, 4, 3), 5, np.uint8))
+        bad = batcher.submit(np.zeros((5, 4, 3), np.uint8))  # wrong H
+        good2 = batcher.submit(np.full((4, 4, 3), 9, np.uint8))
+        with pytest.raises(ValueError, match="mismatch"):
+            bad.result(timeout=30)
+        assert float(good1.result(timeout=30)["marker"]) == 5.0
+        assert float(good2.result(timeout=30)["marker"]) == 9.0
+    finally:
+        batcher.stop()
