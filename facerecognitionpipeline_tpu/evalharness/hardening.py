@@ -35,6 +35,18 @@ from facerecognitionpipeline_tpu.evalharness.verification import (
 DEFAULT_SIGMAS = (0.0, 1.0, 2.0, 4.0, 6.0, 8.0)
 
 
+def _unwrap(corpus: Dict) -> Dict:
+    """Accept BOTH corpus layouts the pipeline produces: person-keyed
+    ({name: {'embeddings': ...}}) and category-wrapped ({'all': {name:
+    ...}}, the layout pipeline/corpus.py:203 saves for unsegmented
+    corpora). Same tolerance as evaluate_probes/verification
+    (identification.py:51, verification.py:33) — without it, noise_sweep
+    KeyErrors on 'embeddings', subsampled_gallery silently turns the whole
+    positive set into impostors (no top-level name matches a person), and
+    cross_model_impostors crashes in verification."""
+    return corpus.get("all", corpus) if corpus else corpus
+
+
 def perturb_corpus(corpus: Dict[str, Dict], sigma: float, seed: int = 0) -> Dict:
     """Perturb every embedding with an isotropic noise vector whose NORM is
     `sigma * ||embedding||`, then renormalize.
@@ -44,6 +56,7 @@ def perturb_corpus(corpus: Dict[str, Dict], sigma: float, seed: int = 0) -> Dict
     ~sqrt(512)*s and already obliterates the signal at s=0.2. At ratio r the
     expected residual cosine to the clean embedding is ~1/sqrt(1+r^2):
     r=0.5 -> 0.89, r=1 -> 0.71, r=1.5 -> 0.55."""
+    corpus = _unwrap(corpus)
     if sigma == 0.0:
         return corpus
     rng = np.random.default_rng(seed)
@@ -92,6 +105,7 @@ def noise_sweep(
     seed: int = 0,
 ) -> List[Dict]:
     """Headline metrics per noise sigma applied to the probe embeddings."""
+    gallery = _unwrap(gallery)
     rows = []
     for i, sigma in enumerate(sigmas):
         noisy_pos = perturb_corpus(probes, sigma, seed=seed + i)
@@ -111,6 +125,7 @@ def subsampled_gallery(
     seed: int = 0,
 ) -> Dict:
     """Enroll a random subset; everyone else's probes become impostors."""
+    gallery, probes = _unwrap(gallery), _unwrap(probes)
     rng = np.random.default_rng(seed)
     names = sorted(gallery)
     keep = set(rng.choice(names, size=min(n_enrolled, len(names)), replace=False))
@@ -138,8 +153,10 @@ def cross_model_impostors(
 
     The embeddings describe the SAME people, but in a foreign model's
     coordinate system — a well-behaved matcher must reject them all."""
+    gallery, probes = _unwrap(gallery), _unwrap(probes)
     impostors = {
-        f"xmodel_{name}": data for name, data in other_model_probes.items()
+        f"xmodel_{name}": data
+        for name, data in _unwrap(other_model_probes).items()
     }
     if negatives:
         impostors.update(negatives)

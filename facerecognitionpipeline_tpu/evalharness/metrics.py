@@ -26,6 +26,11 @@ def pack_gallery(gallery_embeddings: Dict[str, Dict]) -> tuple:
     """{name: {'embeddings': [M_i, 512]}} -> (names, padded [I, Mmax, 512],
     mask [I, Mmax]). Embeddings are L2-normalized during packing."""
     names = list(gallery_embeddings.keys())
+    if not names:
+        # fail with the actual cause, not 'max() arg is an empty sequence'
+        # deep in the eval stack (empty/failed-to-load gallery pickle,
+        # subsampled_gallery n_enrolled=0)
+        raise ValueError("pack_gallery: gallery_embeddings is empty")
     mats = [np.atleast_2d(np.asarray(gallery_embeddings[n]["embeddings"],
                                      dtype=np.float32)) for n in names]
     m_max = max(m.shape[0] for m in mats)

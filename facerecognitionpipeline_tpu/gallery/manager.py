@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import threading
 from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Dict, List, Optional, Tuple
@@ -95,6 +96,13 @@ class GalleryManager:
         self.students: Dict[str, StudentRecord] = {}
         self._device = DeviceGallery()
         self._dirty = True
+        # Serializes the students-dict-mutation + dirty-flag transitions
+        # against _sync_device's read-rebuild-clear: without it, a mutation
+        # landing between the sync's read and its `_dirty = False` is LOST
+        # and the device gallery serves stale templates until the next
+        # mutation. The manager is shared across the server's HTTP thread
+        # pool and the batcher's dispatch thread.
+        self._sync_lock = threading.RLock()
 
         os.makedirs(os.path.dirname(gallery_path) or ".", exist_ok=True)
         if os.path.exists(gallery_path):
@@ -126,17 +134,18 @@ class GalleryManager:
         embeddings = np.atleast_2d(np.asarray(embeddings, dtype=np.float32))
         template = self._aggregate_embeddings(embeddings)
         now = datetime.now().isoformat()
-        self.students[student_id] = StudentRecord(
-            student_id=student_id,
-            name=name,
-            embeddings=embeddings,
-            template_embedding=template,
-            num_samples=len(embeddings),
-            enrollment_date=now,
-            last_updated=now,
-            metadata=metadata or {},
-        )
-        self._dirty = True
+        with self._sync_lock:
+            self.students[student_id] = StudentRecord(
+                student_id=student_id,
+                name=name,
+                embeddings=embeddings,
+                template_embedding=template,
+                num_samples=len(embeddings),
+                enrollment_date=now,
+                last_updated=now,
+                metadata=metadata or {},
+            )
+            self._dirty = True
         self._log(
             f"{'Updated' if overwrite else 'Added'} student: {name} ({student_id}) "
             f"with {len(embeddings)} embeddings"
@@ -163,11 +172,12 @@ class GalleryManager:
         else:
             raise ValueError(f"Unknown mode: {mode}")
 
-        student.embeddings = updated
-        student.template_embedding = self._aggregate_embeddings(updated)
-        student.num_samples = len(updated)
-        student.last_updated = datetime.now().isoformat()
-        self._dirty = True
+        with self._sync_lock:
+            student.embeddings = updated
+            student.template_embedding = self._aggregate_embeddings(updated)
+            student.num_samples = len(updated)
+            student.last_updated = datetime.now().isoformat()
+            self._dirty = True
         self._log(
             f"Updated embeddings for {student.name} ({student_id}): "
             f"{len(updated)} total embeddings"
@@ -178,8 +188,9 @@ class GalleryManager:
         if student_id not in self.students:
             self._log(f"Student {student_id} not found")
             return False
-        name = self.students.pop(student_id).name
-        self._dirty = True
+        with self._sync_lock:
+            name = self.students.pop(student_id).name
+            self._dirty = True
         self._log(f"Deleted student: {name} ({student_id})")
         return True
 
@@ -204,10 +215,13 @@ class GalleryManager:
     # --------------------------------------------------------------- search
 
     def _sync_device(self) -> None:
-        if self._dirty:
-            templates, ids = self.get_gallery_embeddings()
-            self._device.rebuild(ids, templates if len(ids) else np.zeros((0, 512)))
-            self._dirty = False
+        with self._sync_lock:
+            if self._dirty:
+                templates, ids = self.get_gallery_embeddings()
+                self._device.rebuild(
+                    ids, templates if len(ids) else np.zeros((0, 512))
+                )
+                self._dirty = False
 
     def device_arrays(self):
         """(templates [Gpad,512], valid [Gpad]) device arrays for fused engines."""
@@ -240,7 +254,9 @@ class GalleryManager:
             np.asarray(query_embedding, dtype=np.float32)[None], top_k
         )
         return [
-            (sid, self.students[sid].name, float(score))
+            # .get: a concurrent delete between the device snapshot and this
+            # lookup must degrade to the raw id, not raise KeyError
+            (sid, getattr(self.students.get(sid), "name", sid), float(score))
             for sid, score in zip(ids[0], scores[0])
         ]
 
@@ -256,7 +272,7 @@ class GalleryManager:
         )
         return [
             [
-                (sid, self.students[sid].name, float(score))
+                (sid, getattr(self.students.get(sid), "name", sid), float(score))
                 for sid, score in zip(row_ids, row_scores)
             ]
             for row_ids, row_scores in zip(ids, scores)
@@ -302,8 +318,10 @@ class GalleryManager:
             self._log(f"Gallery file not found: {load_path}")
             return
         with open(load_path, "rb") as f:
-            self.students = _CompatUnpickler(f).load()
-        self._dirty = True
+            loaded = _CompatUnpickler(f).load()
+        with self._sync_lock:
+            self.students = loaded
+            self._dirty = True
         self._log(f"Gallery loaded from {load_path}")
 
     def load_from_backup_json(self, json_path: str) -> None:
@@ -311,10 +329,12 @@ class GalleryManager:
         included) — usable to ingest reference-produced backups without pickle."""
         with open(json_path) as f:
             data = json.load(f)
-        self.students = {
+        restored = {
             sid: StudentRecord.from_dict(rec) for sid, rec in data["students"].items()
         }
-        self._dirty = True
+        with self._sync_lock:
+            self.students = restored
+            self._dirty = True
         self._log(f"Gallery restored from backup {json_path}")
 
     def export_for_backup(self, backup_dir: str, backup_name: Optional[str] = None) -> str:
@@ -374,7 +394,16 @@ class GalleryManager:
         self, embeddings: np.ndarray, min_similarity: float = 0.70
     ) -> np.ndarray:
         """Drop embeddings whose mean intra-similarity is below threshold,
-        always keeping >=2 (reference gallery_manager.py:104-122)."""
+        always keeping >=2 (reference gallery_manager.py:104-122).
+
+        PRESERVED REFERENCE QUIRK: the mean divides by N (all rows, diagonal
+        zeroed), not N-1 off-diagonal entries — so the effective threshold
+        on the true pairwise mean is min_similarity * N/(N-1), and at N=3
+        the 0.70 gate is unreachable even for identical embeddings (2/3 max)
+        so the >=2 fallback always fires. Template bit-parity with the
+        reference's checked-in galleries depends on matching this formula
+        exactly (tests/test_reference_parity.py); fixing the divisor here
+        would silently change every small-N enrollment's template."""
         if len(embeddings) <= 2:
             return embeddings
         sims = np.dot(embeddings, embeddings.T)
@@ -418,4 +447,14 @@ class GalleryManager:
             return embeddings
         sims = np.dot(embeddings, embeddings.T)
         avg = np.mean(sims, axis=1)
-        return embeddings[avg >= np.median(avg) * threshold]
+        keep = embeddings[avg >= np.median(avg) * threshold]
+        if len(keep) == 0:
+            # Degenerate case the reference leaves unhandled: with a
+            # NEGATIVE median (mutually dissimilar set), median*0.7 sits
+            # ABOVE the median and can exceed every row, emptying the set —
+            # np.mean of it would then install an all-NaN template, and NaN
+            # scores can outrank every real match in lax.top_k device-side.
+            # Keeping the full set preserves reference behavior everywhere
+            # the reference behaves at all.
+            return embeddings
+        return keep

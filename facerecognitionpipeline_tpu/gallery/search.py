@@ -63,6 +63,18 @@ def sharded_cosine_topk(
     g = templates.shape[0]
     assert g % n_dev == 0, "pad gallery to a multiple of the mesh axis"
     shard = g // n_dev
+    if top_k > shard:
+        # the local top-k runs over one shard's rows; a larger k would die
+        # inside lax.top_k with an opaque shape error mid-trace
+        raise ValueError(
+            f"top_k={top_k} exceeds the per-device shard of {shard} rows "
+            f"({g} padded rows over {n_dev} devices); lower top_k or use "
+            f"fewer shards"
+        )
+    # NOTE: like cosine_topk, results may include PADDED slots (score
+    # _NEG=-1e9) when top_k exceeds the number of VALID rows — callers
+    # resolving indices against an id list must bounds-check (the engine
+    # resolves via gallery_ids snapshots, serve/server.py, which does).
 
     def local(q, t, v):
         qn = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
@@ -151,10 +163,15 @@ class DeviceGallery:
 
         k is clipped to the number of enrolled identities.
         """
-        if not self._ids:
-            return np.zeros((len(queries), 0), np.float32), [[] for _ in queries]
-        k = min(top_k, len(self._ids))
+        # 2-D BEFORE the empty-gallery return: len() of a 1-D query counts
+        # its 512 components as "queries" and would fabricate 512 empty
+        # result rows for what the populated path treats as ONE query
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
+        if not self._ids:
+            return np.zeros((q.shape[0], 0), np.float32), [
+                [] for _ in range(q.shape[0])
+            ]
+        k = min(top_k, len(self._ids))
         if self._templates_bf16 is not None:
             from facerecognitionpipeline_tpu.ops.pallas_gallery import (
                 streaming_cosine_topk,

@@ -107,3 +107,31 @@ def test_cross_model_impostors_rejected(adaface_corpus):
     # foreign-space embeddings of the SAME people must stay separable
     assert out["impostor_mean"] < out["genuine_mean"]
     assert out["eer"] < 0.2
+
+
+def test_hardening_accepts_category_wrapped_corpus(adaface_corpus):
+    """pipeline/corpus.py saves unsegmented corpora as {'all': {name: ...}}
+    and evaluate_* unwrap that layout — the hardening variants must accept
+    it too (they crashed / silently mislabeled the whole positive set as
+    impostors before)."""
+    gallery, probes, negatives = adaface_corpus
+    wrapped_g = {"all": gallery}
+    wrapped_p = {"all": probes}
+
+    noisy = perturb_corpus(wrapped_p, sigma=1.0, seed=0)
+    assert set(noisy) == set(probes)  # unwrapped, person-keyed
+
+    sub = subsampled_gallery(
+        wrapped_g, wrapped_p, negatives, THRESHOLDS,
+        n_enrolled=max(1, len(gallery) - 2), seed=0,
+    )
+    plain = subsampled_gallery(
+        gallery, probes, negatives, THRESHOLDS,
+        n_enrolled=max(1, len(gallery) - 2), seed=0,
+    )
+    assert sub["n_enrolled"] == plain["n_enrolled"] > 0
+    assert sub["n_open_set_identities"] == plain["n_open_set_identities"]
+    assert sub["rank1_accuracy"] == plain["rank1_accuracy"]
+
+    x = cross_model_impostors(wrapped_g, wrapped_p, wrapped_p, THRESHOLDS)
+    assert 0.0 <= x["rank1_accuracy"] <= 1.0

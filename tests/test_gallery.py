@@ -223,3 +223,68 @@ def test_save_non_pkl_path_keeps_pickle_intact(tmp_path, rng):
         students = pickle.load(f)  # must still BE a pickle
     assert "STU0001" in students
     assert (tmp_path / "students.json").exists()
+
+
+def test_empty_gallery_search_single_1d_query():
+    """A 1-D query against an EMPTY gallery must yield one empty result,
+    not 512 (len() of the raw vector counted components as queries)."""
+    from facerecognitionpipeline_tpu.gallery.search import DeviceGallery
+
+    dg = DeviceGallery()
+    dg.rebuild([], np.zeros((0, 512)))
+    scores, ids = dg.search(np.zeros(512, np.float32), top_k=3)
+    assert scores.shape == (1, 0)
+    assert ids == [[]]
+
+
+def test_outlier_removal_never_empties_the_set(rng):
+    """A mutually-dissimilar set can push median*0.7 above every row's mean
+    similarity; the degenerate empty mask must fall back to keeping all
+    instead of producing an all-NaN template downstream."""
+    from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+
+    g = GalleryManager(gallery_path="/tmp/t_outlier/g.pkl", verbose=False)
+    # three near-orthogonal/opposed unit vectors: all pairwise cosines < 0
+    e = np.zeros((3, 512), np.float32)
+    e[0, 0] = 1.0
+    e[1, 0], e[1, 1] = -0.5, np.sqrt(1 - 0.25)
+    e[2, 0], e[2, 1] = -0.5, -np.sqrt(1 - 0.25)
+    kept = g._remove_outliers(e)
+    assert len(kept) == 3
+    template = g._aggregate_embeddings(e)
+    assert np.isfinite(template).all()
+
+
+def test_concurrent_mutation_not_lost_by_device_sync(rng):
+    """A student added while another thread runs _sync_device must appear in
+    the next search (the unsynchronized dirty-flag clear lost it before)."""
+    import threading
+
+    from facerecognitionpipeline_tpu.gallery.manager import GalleryManager
+
+    g = GalleryManager(gallery_path="/tmp/t_sync/g.pkl", verbose=False)
+    emb = rng.normal(size=(2, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    g.add_student("S0", "Zero", emb)
+
+    stop = threading.Event()
+
+    def churn():
+        i = 1
+        while not stop.is_set():
+            e = rng.normal(size=(1, 512)).astype(np.float32)
+            e /= np.linalg.norm(e)
+            g.add_student(f"S{i}", f"N{i}", e)
+            i += 1
+
+    t = threading.Thread(target=churn)
+    t.start()
+    try:
+        for _ in range(30):
+            g.device_snapshot()
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    # after churn stops, one more sync must surface every enrolled student
+    _, _, ids = g.device_snapshot()
+    assert set(ids) == set(g.students.keys())
