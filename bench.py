@@ -176,6 +176,35 @@ def main() -> None:
 
         traceback.print_exc()
 
+    # Auxiliary: the int8-quantized embedder (post-training quantization of
+    # the res convs onto the MXU int8 path — models/quantize.py; accuracy
+    # evidence in tests/test_quantize.py and reports/synthetic_e2e). Same
+    # fused step, ~1.4x the bf16 throughput; opt-in for serving
+    # (--quantize int8), so reported as extra keys beside the bf16 headline.
+    int8_p50_ms = None
+    int8_faces_per_sec = None
+    try:
+        emb_q = FaceEmbedder(
+            architecture="ir_101", dtype=jnp.bfloat16, quantize="int8"
+        )
+        eng_q = RecognitionEngine(detector, emb_q, top_k=3)
+
+        def step_q():
+            return eng_q._step(
+                detector.variables, emb_q.variables, gallery._templates,
+                gallery._valid, frames, gallery_k=3,
+            )
+
+        walls_q = measure_walls(step_q)
+        if all(w > correction * 1.05 for w in walls_q):
+            tq = np.array([(w - correction) / CHAIN for w in walls_q])
+            int8_p50_ms = round(float(np.percentile(tq, 50) * 1000), 2)
+            int8_faces_per_sec = round(float(B * MAX_FACES / tq.mean()), 2)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+
     baseline_faces_per_sec = 1000.0 / 74.85  # reference AdaFace ir_101 serial
     print(
         json.dumps(
@@ -194,6 +223,9 @@ def main() -> None:
                 # slots still detected/aligned/gated) — frame throughput,
                 # not a faces/sec claim
                 "p50_step_ms_embed_budget8": budget_p50_ms,
+                # opt-in int8 embedder (same step, quantized res convs)
+                "p50_step_ms_int8": int8_p50_ms,
+                "faces_per_sec_int8": int8_faces_per_sec,
             }
         ),
         flush=True,

@@ -143,30 +143,61 @@ def main() -> int:
 
     print("Recognizing rendered scenes through the FULL pipeline "
           "(real detection + alignment + embedding + matching)...")
-    matcher = FaceMatcher(embedder=embedder, gallery=gallery,
-                          similarity_threshold=0.5, processor=processor)
-    correct = total = 0
-    for trial in range(20):
-        idx = rng.choice(N_IDENTITIES, size=1)
-        scene, boxes, lms, used = render_identity_scene(
-            [identities[i] for i in idx], rng, size=160
-        )
-        if not len(boxes):
-            continue
-        faces = processor.process_numpy(scene, return_all=True)
-        if not faces:
-            total += 1
-            continue
-        results = matcher.match_faces_batch(
-            [f["aligned_face"] for f in faces[:1]], top_k=1
-        )
-        total += 1
-        if results and results[0] and results[0][0][0] == f"SYN{idx[0]:03d}":
-            correct += 1
 
+    def run_recognition(emb, seed=1234):
+        m = FaceMatcher(embedder=emb, gallery=gallery,
+                        similarity_threshold=0.5, processor=processor)
+        trial_rng = np.random.default_rng(seed)
+        correct = total = 0
+        for trial in range(20):
+            idx = trial_rng.choice(N_IDENTITIES, size=1)
+            scene, boxes, lms, used = render_identity_scene(
+                [identities[i] for i in idx], trial_rng, size=160
+            )
+            if not len(boxes):
+                continue
+            faces = processor.process_numpy(scene, return_all=True)
+            if not faces:
+                total += 1
+                continue
+            results = m.match_faces_batch(
+                [f["aligned_face"] for f in faces[:1]], top_k=1
+            )
+            total += 1
+            if results and results[0] and results[0][0][0] == f"SYN{idx[0]:03d}":
+                correct += 1
+        return correct, total
+
+    correct, total = run_recognition(embedder)
     print(f"\nScene recognition rank-1: {correct}/{total} "
           f"({100*correct/max(total,1):.0f}%)")
-    return 0 if correct / max(total, 1) >= 0.6 else 1
+
+    # Int8-quantized pass: the SAME trained weights, post-training-quantized
+    # (models/quantize.py), matched against the SAME fp32-enrolled gallery —
+    # the realistic deployment (enroll once in fp32, serve quantized).
+    # Calibration uses detector-aligned crops, i.e. real serving inputs.
+    print("\nRe-running recognition with the int8-quantized embedder...")
+    calib = np.stack(
+        [c for crops in enroll_pool.values() for c in crops]
+        or [render_identity_crop(identities[0], rng)]
+    )
+    embedder_q = FaceEmbedder(
+        architecture="ir_micro", model_path=EMBEDDER_WEIGHTS,
+        quantize="int8", calib_faces=calib,
+    )
+    probes = np.stack([render_identity_crop(identities[i % N_IDENTITIES],
+                                            np.random.default_rng(500 + i))
+                       for i in range(32)])
+    f32 = embedder.extract_embeddings_batch(probes)
+    fq = embedder_q.extract_embeddings_batch(probes)
+    cos = np.sum(f32 * fq, axis=1)
+    correct_q, total_q = run_recognition(embedder_q)
+    print(f"int8 embedding drift vs fp32: cosine min {cos.min():.5f} "
+          f"mean {cos.mean():.5f}")
+    print(f"Scene recognition rank-1 (int8): {correct_q}/{total_q} "
+          f"({100*correct_q/max(total_q,1):.0f}%)")
+    ok = correct / max(total, 1) >= 0.6 and correct_q / max(total_q, 1) >= 0.6
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -75,6 +75,63 @@ class Affine(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
+class QuantConv(nn.Module):
+    """Static-scale int8 conv for the quantized inference backbone.
+
+    Carries a per-output-channel symmetric int8 `kernel_q` with its f32
+    dequantization `scale`, the folded BN `bias`, and one calibrated f32
+    `act_scale` for the input tensor (see models/quantize.py). The input is
+    quantized on the fly (round/clip — fuses into the previous elementwise
+    op), the conv runs s8 x s8 -> s32 on the MXU int8 path (~2x the bf16
+    FLOP rate on v5e: 370 vs 193 TF/s measured on 4096^3 matmuls), and the
+    output is dequantized into the compute dtype with the bias applied.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: int = 1
+    padding: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kq = self.param(
+            "kernel_q",
+            nn.initializers.zeros,
+            (*self.kernel_size, c_in, self.features),
+            jnp.int8,
+        )
+        w_scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        act_scale = self.param(
+            "act_scale", nn.initializers.ones, (), jnp.float32
+        )
+        # Quantize the activation in f32 (bf16 rounding at magnitude ~127
+        # would add up to +-0.25 extra noise per element).
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / act_scale)), -127, 127
+        ).astype(jnp.int8)
+        dn = jax.lax.conv_dimension_numbers(
+            xq.shape, kq.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            xq,
+            kq,
+            (self.strides, self.strides),
+            [(p, p), (p, p)],
+            dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+        out_scale = (act_scale * w_scale).astype(self.dtype)
+        return y.astype(self.dtype) * out_scale + bias.astype(self.dtype)
+
+
 class SEModule(nn.Module):
     """Squeeze-and-excitation: GAP → 1x1 conv (C→C/r) → ReLU → 1x1 conv → sigmoid."""
 
@@ -103,6 +160,7 @@ class BasicBlockIR(nn.Module):
     use_se: bool
     conv_shortcut: bool = False
     folded: bool = False  # inference-only: post-conv BNs folded into convs
+    quantized: bool = False  # folded + int8 res convs (see models/quantize.py)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,15 +191,28 @@ class BasicBlockIR(nn.Module):
 
         # res_bn1 precedes its conv, so it survives folding as a bare affine.
         r = Affine(name="res_affine")(x) if self.folded else bn("res_bn1")(x)
-        r = nn.Conv(self.depth, (3, 3), padding=1, use_bias=conv_bias,
-                    dtype=self.dtype, name="res_conv1")(r)
-        if not self.folded:
-            r = bn("res_bn2")(r)
+        if self.quantized:
+            # The two 3x3 res convs carry ~99% of the backbone FLOPs; they
+            # run int8 on the MXU fast path. Everything around them (affine,
+            # PReLU, SE, shortcut 1x1 convs) stays in the compute dtype —
+            # negligible FLOPs, and keeping them high-precision bounds the
+            # quantization error to the two matmuls per unit.
+            r = QuantConv(self.depth, (3, 3), dtype=self.dtype,
+                          name="res_conv1")(r)
+        else:
+            r = nn.Conv(self.depth, (3, 3), padding=1, use_bias=conv_bias,
+                        dtype=self.dtype, name="res_conv1")(r)
+            if not self.folded:
+                r = bn("res_bn2")(r)
         r = PReLU(name="res_prelu")(r)
-        r = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
-                    use_bias=conv_bias, dtype=self.dtype, name="res_conv2")(r)
-        if not self.folded:
-            r = bn("res_bn3")(r)
+        if self.quantized:
+            r = QuantConv(self.depth, (3, 3), strides=self.stride,
+                          dtype=self.dtype, name="res_conv2")(r)
+        else:
+            r = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
+                        use_bias=conv_bias, dtype=self.dtype, name="res_conv2")(r)
+            if not self.folded:
+                r = bn("res_bn3")(r)
         if self.use_se:
             r = SEModule(dtype=self.dtype, name="se")(r)
         return r + shortcut
@@ -154,6 +225,7 @@ class IRBackbone(nn.Module):
     use_se: bool = False
     conv_shortcut: bool = False
     folded: bool = False  # inference-only: BNs folded into convs/fc (see fold.py)
+    quantized: bool = False  # folded + int8 res convs (see models/quantize.py)
     embedding_dim: int = 512
     input_size: int = 112
     dtype: Any = jnp.float32  # compute dtype; params stay float32
@@ -165,6 +237,11 @@ class IRBackbone(nn.Module):
             raise ValueError(
                 "folded=True is an inference-only structure (BN statistics are "
                 "baked into conv weights); train with folded=False."
+            )
+        if self.quantized and not self.folded:
+            raise ValueError(
+                "quantized=True requires folded=True (int8 kernels are "
+                "produced from BN-folded weights; see models/quantize.py)."
             )
         bn = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -185,6 +262,7 @@ class IRBackbone(nn.Module):
                     use_se=self.use_se,
                     conv_shortcut=self.conv_shortcut,
                     folded=self.folded,
+                    quantized=self.quantized,
                     dtype=self.dtype,
                     name=f"stage{stage}_unit{unit}",
                 )(x, train=train)
@@ -214,12 +292,16 @@ class IRBackbone(nn.Module):
 
 
 def build_backbone(
-    architecture: str, dtype=jnp.float32, folded: bool = False
+    architecture: str, dtype=jnp.float32, folded: bool = False,
+    quantized: bool = False,
 ) -> IRBackbone:
     """Factory mirroring the zoo's `net.build_model(arch)` naming.
 
     `folded=True` builds the inference-only structure whose variables come
-    from `fold.fold_inference_variables` (BNs baked into convs/fc)."""
+    from `fold.fold_inference_variables` (BNs baked into convs/fc);
+    `quantized=True` additionally swaps the two res convs of every unit for
+    int8 QuantConvs whose variables come from
+    `quantize.quantize_folded_variables`."""
     if architecture not in BACKBONE_CONFIGS:
         raise ValueError(
             f"Unknown architecture: {architecture}. "
@@ -231,5 +313,6 @@ def build_backbone(
         use_se=cfg["use_se"],
         conv_shortcut=cfg.get("conv_shortcut", False),
         folded=folded,
+        quantized=quantized,
         dtype=dtype,
     )

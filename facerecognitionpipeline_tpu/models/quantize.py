@@ -1,0 +1,154 @@
+"""Post-training int8 quantization of the folded IR backbones.
+
+The two 3x3 res convs of every BasicBlockIR unit carry ~99% of the backbone
+FLOPs (per-unit cost is constant across stages: 2 * 9 * H^2 * C^2 with H*C
+fixed by the architecture). On TPU v5e the MXU runs s8 x s8 -> s32 at ~2x
+the bf16 FLOP rate (370 vs 193 TF/s measured on this chip), so quantizing
+exactly those convs buys most of the int8 ceiling while keeping every
+accuracy-sensitive op (input conv, affines, PReLU, SE, shortcut convs, the
+output fc and the final normalization) in the float compute dtype.
+
+Scheme (standard post-training quantization):
+* weights: symmetric per-OUTPUT-channel int8 — scale[oc] = max|w[...,oc]|/127,
+  exact zero point (symmetric), baked offline from the BN-folded f32 kernels;
+* activations: symmetric per-tensor int8 with a STATIC calibrated scale —
+  one f32 scalar per conv input, the max |x| observed over a calibration
+  batch. Static scales keep the quantize step a pure elementwise op that XLA
+  fuses into the preceding affine/PReLU (a dynamic per-batch amax would add
+  a serializing full reduction per layer).
+
+The reference has no quantization story (its ONNX/torch backends run fp32,
+`face_embedder.py:49-88`); this is a TPU-native serving lever. Accuracy
+evidence: tests/test_quantize.py (cosine vs the fp32 forward) and the
+synthetic end-to-end eval.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_QMAX = 127.0
+
+
+def calibrate_activation_amax(model, variables, faces_pm1) -> Dict[str, Dict[str, float]]:
+    """Observe per-conv-input max|activation| on a calibration batch.
+
+    model/variables: a FOLDED (not quantized) backbone and its variables.
+    faces_pm1: [N, S, S, 3] preprocessed faces (BGR, [-1, 1]) — the exact
+    tensor the backbone consumes (ops/image.preprocess_faces output).
+
+    Returns {block_name: {'res_conv1': amax, 'res_conv2': amax}} keyed like
+    the params tree. The amax reduction runs inside one jitted program so
+    the captured intermediates never leave the device.
+    """
+
+    @jax.jit
+    def run(v, x):
+        _, tree = model.apply(
+            v, x, capture_intermediates=True, mutable=["intermediates"]
+        )
+        inter = tree["intermediates"]
+        out = {}
+        for blk, sub in inter.items():
+            if not blk.startswith("stage"):
+                continue
+            out[blk] = {
+                # conv input = the preceding elementwise op's output
+                "res_conv1": jnp.max(
+                    jnp.abs(sub["res_affine"]["__call__"][0].astype(jnp.float32))
+                ),
+                "res_conv2": jnp.max(
+                    jnp.abs(sub["res_prelu"]["__call__"][0].astype(jnp.float32))
+                ),
+            }
+        return out
+
+    amax = jax.device_get(run(variables, jnp.asarray(faces_pm1)))
+    return {
+        blk: {k: float(v) for k, v in sub.items()} for blk, sub in amax.items()
+    }
+
+
+def quantize_folded_variables(
+    folded_variables: dict,
+    activation_amax: Dict[str, Dict[str, float]],
+    headroom: float = 1.0,
+) -> dict:
+    """Rewrite folded backbone variables into the quantized form.
+
+    Input: {'params': ...} from fold.fold_inference_variables.
+    Output: {'params': ...} for `build_backbone(arch, folded=True,
+    quantized=True)` — res convs become {kernel_q int8, scale f32[oc],
+    bias f32, act_scale f32 scalar}; everything else copies through.
+
+    headroom: multiplier on the calibrated activation amax (>1 leaves room
+    for inputs hotter than the calibration set, at the cost of one LSB of
+    resolution per doubling).
+    """
+    params = folded_variables["params"]
+    out: dict = {}
+    for name, p in params.items():
+        if not name.startswith("stage"):
+            out[name] = jax.tree_util.tree_map(np.asarray, p)
+            continue
+        if name not in activation_amax:
+            raise ValueError(
+                f"no calibrated activation amax for block {name!r} — "
+                f"calibrate_activation_amax must run on the same architecture"
+            )
+        blk = {}
+        for key, sub in p.items():
+            if key in ("res_conv1", "res_conv2"):
+                w = np.asarray(sub["kernel"], np.float32)  # HWIO
+                w_scale = np.maximum(
+                    np.max(np.abs(w), axis=(0, 1, 2)) / _QMAX, 1e-12
+                )
+                kq = np.clip(
+                    np.round(w / w_scale), -_QMAX, _QMAX
+                ).astype(np.int8)
+                a = activation_amax[name][key] * headroom
+                blk[key] = {
+                    "kernel_q": kq,
+                    "scale": w_scale.astype(np.float32),
+                    "bias": np.asarray(sub["bias"], np.float32),
+                    "act_scale": np.float32(max(a, 1e-12) / _QMAX),
+                }
+            else:
+                blk[key] = jax.tree_util.tree_map(np.asarray, sub)
+        out[name] = blk
+    return {"params": out}
+
+
+def default_calibration_faces(
+    n: int = 64, seed: int = 0, size: int = 112
+) -> np.ndarray:
+    """Deterministic synthetic calibration crops: rendered identity faces
+    with pose/lighting jitter (the renderer the shipped detector/embedder
+    weights were trained on), plus a few uniform-noise frames so the scales
+    cover textureless extremes. Returns raw RGB uint8 [n, size, size, 3];
+    callers preprocess with ops.image.preprocess_faces.
+
+    For imported real-world weights, calibrate on a sample of REAL aligned
+    faces instead (FaceEmbedder(quantize='int8', calib_faces=...)) — scales
+    observed on synthetic renders transfer only approximately.
+    """
+    from facerecognitionpipeline_tpu.train.detector_train import (
+        make_identity,
+        render_identity_crop,
+    )
+
+    rng = np.random.default_rng(seed)
+    n_noise = max(2, n // 16)
+    crops = []
+    for i in range(n - n_noise):
+        ident = make_identity(seed * 1000 + i % 16)
+        crops.append(render_identity_crop(ident, rng, size=size))
+    for _ in range(n_noise):
+        crops.append(
+            rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+        )
+    return np.stack(crops)

@@ -126,6 +126,7 @@ class FaceRecognitionServer:
         transport: str = "rgb",
         tracker_mode: str = "server",
         embed_budget: Optional[int] = None,
+        quantize: Optional[str] = None,
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights/gallery
@@ -144,7 +145,10 @@ class FaceRecognitionServer:
         backbone is ~84% of the fused step, so a budget sized to the
         realistic per-frame face count cuts device time several-fold
         (RecognitionEngine docstring). Faces beyond the budget are still
-        detected/tracked; recognition for them retries on later frames."""
+        detected/tracked; recognition for them retries on later frames.
+        quantize: None or 'int8' — post-training-quantized embedder (res
+        convs on the MXU int8 path, ~1.4x step throughput; see
+        models/quantize.py for the scheme and its calibration caveat)."""
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
         self.model_type = model_type
@@ -177,6 +181,7 @@ class FaceRecognitionServer:
             embedder = FaceEmbedder(
                 architecture=architecture, model_type=model_type,
                 model_path=model_path, dtype=jnp.bfloat16,
+                quantize=quantize,
             )
             mesh = None
             if mesh_data and mesh_data > 1:
@@ -1012,6 +1017,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Host->device frame encoding: i420 halves upload "
                         "bytes (YUV 4:2:0, device-side RGB conversion)")
     # accepted for reference-CLI compatibility; device choice is JAX's
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="post-training-quantized embedder (int8 res convs "
+                        "on the MXU int8 path; ~1.4x step throughput — "
+                        "calibrate on real faces for imported weights, "
+                        "see models/quantize.py)")
     p.add_argument("--use_gpu", action="store_true")
     p.add_argument("--use_cpu", action="store_true")
     return p
@@ -1041,6 +1052,7 @@ def main(argv=None) -> int:
         mesh_data=args.mesh_data,
         transport=args.transport,
         embed_budget=args.embed_budget,
+        quantize=args.quantize,
     )
     httpd = serve(server, args.host, args.port)
     try:
