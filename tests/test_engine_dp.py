@@ -59,3 +59,27 @@ def test_dp_engine_pallas_align_under_mesh(rng):
     np.testing.assert_allclose(a["aligned"], b["aligned"], atol=1e-3)
     np.testing.assert_allclose(a["match_scores"], b["match_scores"], atol=1e-4)
     np.testing.assert_allclose(a["embeddings"], b["embeddings"], atol=1e-4)
+
+
+def test_dp_engine_quantized_embedder_under_mesh(rng):
+    """The int8-quantized embedder shards over a 'data' mesh like the bf16
+    one: QuantConv is plain XLA (no pallas_call), so the SPMD partitioner
+    splits the quantized step directly."""
+    detector = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
+    embedder = FaceEmbedder(architecture="ir_micro", quantize="int8")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), axis_names=("data",))
+
+    single = RecognitionEngine(detector, embedder, top_k=2)
+    sharded = RecognitionEngine(detector, embedder, top_k=2, mesh=mesh)
+
+    dg = DeviceGallery()
+    t = rng.normal(size=(6, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    dg.rebuild([f"id{i}" for i in range(6)], t)
+
+    frames = rng.integers(0, 256, size=(4, 160, 160, 3), dtype=np.uint8)
+    a = jax.device_get(single.process_frames(frames, dg._templates, dg._valid, 2))
+    b = jax.device_get(sharded.process_frames(frames, dg._templates, dg._valid, 2))
+
+    np.testing.assert_allclose(a["match_scores"], b["match_scores"], atol=1e-4)
+    np.testing.assert_allclose(a["embeddings"], b["embeddings"], atol=1e-4)
