@@ -50,6 +50,7 @@ class LiveFaceRecognition:
         auto_snapshot_interval: float = 0.0,
         core: Optional[FaceRecognitionServer] = None,
         embed_budget: Optional[int] = None,
+        quantize: Optional[str] = None,
     ):
         self.core = core or FaceRecognitionServer(
             gallery_path=gallery_path,
@@ -62,6 +63,7 @@ class LiveFaceRecognition:
             max_recognition_attempts=max_attempts,
             tracker_mode="live",
             embed_budget=embed_budget,
+            quantize=quantize,
         )
         self.session_name = session_name or datetime.now().strftime(
             "live_%Y%m%d_%H%M%S"
@@ -204,6 +206,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_snapshot_interval", type=float, default=0.0)
     p.add_argument("--embed_budget", type=int, default=None,
                    help="per-frame embed budget (see server --embed_budget)")
+    p.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                   help="int8 post-training-quantized embedder "
+                        "(see server --quantize)")
     return p
 
 
@@ -227,6 +232,7 @@ def main(argv=None) -> int:
         display=not args.no_display,
         auto_snapshot_interval=args.auto_snapshot_interval,
         embed_budget=args.embed_budget,
+        quantize=args.quantize,
     )
     return app.run()
 

@@ -65,8 +65,15 @@ def test_dp_engine_quantized_embedder_under_mesh(rng):
     """The int8-quantized embedder shards over a 'data' mesh like the bf16
     one: QuantConv is plain XLA (no pallas_call), so the SPMD partitioner
     splits the quantized step directly."""
+    from facerecognitionpipeline_tpu.models.quantize import (
+        default_calibration_faces,
+    )
+
     detector = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
-    embedder = FaceEmbedder(architecture="ir_micro", quantize="int8")
+    embedder = FaceEmbedder(
+        architecture="ir_micro", quantize="int8",
+        calib_faces=default_calibration_faces(8, seed=3),
+    )
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), axis_names=("data",))
 
     single = RecognitionEngine(detector, embedder, top_k=2)

@@ -69,13 +69,13 @@ def test_quantized_tree_structure_and_dtypes():
 
 def test_quantized_forward_tracks_fp32():
     fmodel, folded = _folded_setup(seed=3)
-    calib = _calib_batch(16, seed=2)
+    calib = _calib_batch(12, seed=2)
     amax = calibrate_activation_amax(fmodel, folded, calib)
     qvars = quantize_folded_variables(folded, amax)
     qmodel = build_backbone("ir_micro", folded=True, quantized=True)
 
     # evaluation inputs are DIFFERENT renders than calibration
-    x = preprocess_faces(jnp.asarray(default_calibration_faces(16, seed=9)))
+    x = preprocess_faces(jnp.asarray(default_calibration_faces(8, seed=9)))
     f_ref, n_ref = fmodel.apply(folded, x)
     f_q, n_q = qmodel.apply(qvars, x)
     cos = np.sum(np.asarray(f_ref) * np.asarray(f_q), axis=1)
@@ -96,7 +96,8 @@ def test_embedder_quantize_flag():
     faces = default_calibration_faces(8, seed=5)
     e_ref = FaceEmbedder(architecture="ir_micro", model_path=None, init_seed=11)
     e_q = FaceEmbedder(
-        architecture="ir_micro", model_path=None, init_seed=11, quantize="int8"
+        architecture="ir_micro", model_path=None, init_seed=11, quantize="int8",
+        calib_faces=default_calibration_faces(8, seed=6),
     )
     assert e_q.quantized and e_q.folded
     f_ref = e_ref.extract_embeddings_batch(faces)
@@ -126,7 +127,10 @@ def test_engine_runs_with_quantized_embedder():
     from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
 
     det = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=20)
-    emb = FaceEmbedder(architecture="ir_micro", model_path=None, quantize="int8")
+    emb = FaceEmbedder(
+        architecture="ir_micro", model_path=None, quantize="int8",
+        calib_faces=default_calibration_faces(8, seed=7),
+    )
     eng = RecognitionEngine(det, emb, top_k=2)
     gal = DeviceGallery()
     rng = np.random.default_rng(0)
