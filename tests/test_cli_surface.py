@@ -22,13 +22,14 @@ SERVE_MODULES = {
     "facerecognitionpipeline_tpu.serve.server": [
         "--gallery_path", "--threshold", "--session_name", "--host", "--port",
         "--model_type", "--architecture", "--recognition_interval",
-        "--max_attempts",
+        "--max_attempts", "--quantize", "--embed_budget", "--transport",
     ],
     "facerecognitionpipeline_tpu.serve.client": [
         "--server", "--session_name", "--frame_skip", "--max_frames",
     ],
     "facerecognitionpipeline_tpu.serve.live": [
         "--gallery_path", "--threshold", "--recognition_interval",
+        "--quantize", "--embed_budget",
     ],
     "facerecognitionpipeline_tpu.serve.capture": [
         "--camera_id", "--skip_frames", "--target_frames",
