@@ -154,56 +154,53 @@ def main() -> None:
     # see RecognitionEngine.embed_budget). Reported as extra keys, never at
     # the expense of the honest all-slots headline; failures here must not
     # sink the main metric.
-    budget_p50_ms = None
-    try:
-        eng_b = RecognitionEngine(detector, embedder, top_k=3, embed_budget=8)
+    def measure_aux(make_engine_and_vars):
+        """Measure one auxiliary engine configuration on the SAME correction
+        basis as the headline. Returns (p50_ms, faces_per_sec) or (None,
+        None) — aux failures must never sink the headline, but a regression
+        must not be indistinguishable from a transient skip, so the
+        traceback stays on stderr (the driver records stdout only)."""
+        try:
+            eng, emb_vars = make_engine_and_vars()
 
-        def step_b():
-            return eng_b._step(
-                detector.variables, embedder.variables, gallery._templates,
-                gallery._valid, frames, gallery_k=3,
-            )
+            def step_fn():
+                return eng._step(
+                    detector.variables, emb_vars, gallery._templates,
+                    gallery._valid, frames, gallery_k=3,
+                )
 
-        walls_b = measure_walls(step_b)
-        if all(w > correction * 1.05 for w in walls_b):
-            tb = np.array([(w - correction) / CHAIN for w in walls_b])
-            budget_p50_ms = round(float(np.percentile(tb, 50) * 1000), 2)
-    except Exception:
-        # The headline must not sink with the aux metric — but a budget-path
-        # regression must not be indistinguishable from a transient skip:
-        # leave the traceback on stderr (the driver records stdout only).
-        import traceback
+            walls_a = measure_walls(step_fn)
+            if all(w > correction * 1.05 for w in walls_a):
+                ta = np.array([(w - correction) / CHAIN for w in walls_a])
+                return (
+                    round(float(np.percentile(ta, 50) * 1000), 2),
+                    round(float(B * MAX_FACES / ta.mean()), 2),
+                )
+        except Exception:
+            import traceback
 
-        traceback.print_exc()
+            traceback.print_exc()
+        return None, None
+
+    budget_p50_ms, _ = measure_aux(
+        lambda: (
+            RecognitionEngine(detector, embedder, top_k=3, embed_budget=8),
+            embedder.variables,
+        )
+    )
 
     # Auxiliary: the int8-quantized embedder (post-training quantization of
     # the res convs onto the MXU int8 path — models/quantize.py; accuracy
     # evidence in tests/test_quantize.py and reports/synthetic_e2e). Same
     # fused step, ~1.4x the bf16 throughput; opt-in for serving
     # (--quantize int8), so reported as extra keys beside the bf16 headline.
-    int8_p50_ms = None
-    int8_faces_per_sec = None
-    try:
+    def _int8_engine():
         emb_q = FaceEmbedder(
             architecture="ir_101", dtype=jnp.bfloat16, quantize="int8"
         )
-        eng_q = RecognitionEngine(detector, emb_q, top_k=3)
+        return RecognitionEngine(detector, emb_q, top_k=3), emb_q.variables
 
-        def step_q():
-            return eng_q._step(
-                detector.variables, emb_q.variables, gallery._templates,
-                gallery._valid, frames, gallery_k=3,
-            )
-
-        walls_q = measure_walls(step_q)
-        if all(w > correction * 1.05 for w in walls_q):
-            tq = np.array([(w - correction) / CHAIN for w in walls_q])
-            int8_p50_ms = round(float(np.percentile(tq, 50) * 1000), 2)
-            int8_faces_per_sec = round(float(B * MAX_FACES / tq.mean()), 2)
-    except Exception:
-        import traceback
-
-        traceback.print_exc()
+    int8_p50_ms, int8_faces_per_sec = measure_aux(_int8_engine)
 
     baseline_faces_per_sec = 1000.0 / 74.85  # reference AdaFace ir_101 serial
     print(

@@ -25,6 +25,7 @@ synthetic end-to-end eval.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -121,6 +122,43 @@ def quantize_folded_variables(
                 blk[key] = jax.tree_util.tree_map(np.asarray, sub)
         out[name] = blk
     return {"params": out}
+
+
+def load_calibration_faces(
+    directory: str, size: int = 112, limit: int = 256
+) -> np.ndarray:
+    """Load aligned face crops from a directory for activation calibration.
+
+    Reads every image under `directory` (recursively; jpg/png/bmp), resizes
+    to `size`x`size` RGB uint8, caps at `limit`. This is how a deployment
+    serving IMPORTED real-world weights supplies real calibration data
+    (server/live `--quantize_calib DIR`) instead of the synthetic default.
+    """
+    import cv2
+
+    from facerecognitionpipeline_tpu.utils.io import VALID_EXTENSIONS, imread_rgb
+
+    crops = []
+    for root, _, files in sorted(os.walk(directory)):
+        for fname in sorted(files):
+            if os.path.splitext(fname)[1].lower() not in VALID_EXTENSIONS:
+                continue
+            img = imread_rgb(os.path.join(root, fname))
+            if img is None:
+                continue
+            if img.shape[:2] != (size, size):
+                img = cv2.resize(img, (size, size), interpolation=cv2.INTER_LINEAR)
+            crops.append(img.astype(np.uint8))
+            if len(crops) >= limit:
+                break
+        if len(crops) >= limit:
+            break
+    if not crops:
+        raise ValueError(
+            f"no readable calibration images under {directory!r} "
+            f"(extensions {sorted(VALID_EXTENSIONS)})"
+        )
+    return np.stack(crops)
 
 
 def default_calibration_faces(

@@ -151,9 +151,21 @@ class FaceEmbedder:
                 default_calibration_faces,
                 quantize_folded_variables,
             )
-            from facerecognitionpipeline_tpu.ops.image import preprocess_faces
 
             if calib_faces is None:
+                if self.pretrained:
+                    # Scales calibrated on synthetic renders only transfer
+                    # approximately to real-world weights/data; activations
+                    # hotter than the calibrated amax clip at +-127.
+                    print(
+                        "[FaceEmbedder] quantize='int8' with pretrained "
+                        "weights but no calib_faces: calibrating activation "
+                        "scales on SYNTHETIC renders. Pass calib_faces (or "
+                        "the server's --quantize_calib DIR) with real "
+                        "aligned crops before trusting accuracy — see "
+                        "docs/weights.md.",
+                        file=sys.stderr,
+                    )
                 calib_faces = default_calibration_faces()
             faces_pm1 = preprocess_faces(
                 jnp.asarray(np.asarray(calib_faces)), dtype=dtype

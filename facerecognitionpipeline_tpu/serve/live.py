@@ -51,6 +51,7 @@ class LiveFaceRecognition:
         core: Optional[FaceRecognitionServer] = None,
         embed_budget: Optional[int] = None,
         quantize: Optional[str] = None,
+        quantize_calib: Optional[str] = None,
     ):
         self.core = core or FaceRecognitionServer(
             gallery_path=gallery_path,
@@ -64,6 +65,7 @@ class LiveFaceRecognition:
             tracker_mode="live",
             embed_budget=embed_budget,
             quantize=quantize,
+            quantize_calib=quantize_calib,
         )
         self.session_name = session_name or datetime.now().strftime(
             "live_%Y%m%d_%H%M%S"
@@ -209,6 +211,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", type=str, default=None, choices=["int8"],
                    help="int8 post-training-quantized embedder "
                         "(see server --quantize)")
+    p.add_argument("--quantize_calib", type=str, default=None,
+                   help="directory of aligned crops for int8 calibration "
+                        "(see server --quantize_calib)")
     return p
 
 
@@ -233,6 +238,7 @@ def main(argv=None) -> int:
         auto_snapshot_interval=args.auto_snapshot_interval,
         embed_budget=args.embed_budget,
         quantize=args.quantize,
+        quantize_calib=args.quantize_calib,
     )
     return app.run()
 

@@ -127,6 +127,7 @@ class FaceRecognitionServer:
         tracker_mode: str = "server",
         embed_budget: Optional[int] = None,
         quantize: Optional[str] = None,
+        quantize_calib: Optional[str] = None,
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights/gallery
@@ -148,7 +149,11 @@ class FaceRecognitionServer:
         detected/tracked; recognition for them retries on later frames.
         quantize: None or 'int8' — post-training-quantized embedder (res
         convs on the MXU int8 path, ~1.4x step throughput; see
-        models/quantize.py for the scheme and its calibration caveat)."""
+        models/quantize.py for the scheme and its calibration caveat).
+        quantize_calib: directory of aligned face crops to calibrate the
+        int8 activation scales on — REQUIRED in spirit when serving
+        imported real-world weights (the synthetic default only covers the
+        shipped synthetic weights; docs/weights.md)."""
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
         self.model_type = model_type
@@ -178,10 +183,17 @@ class FaceRecognitionServer:
                 min_face_size=40, dtype=jnp.bfloat16,
                 weights_path=detector_weights,
             )
+            calib_faces = None
+            if quantize_calib is not None:
+                from facerecognitionpipeline_tpu.models.quantize import (
+                    load_calibration_faces,
+                )
+
+                calib_faces = load_calibration_faces(quantize_calib)
             embedder = FaceEmbedder(
                 architecture=architecture, model_type=model_type,
                 model_path=model_path, dtype=jnp.bfloat16,
-                quantize=quantize,
+                quantize=quantize, calib_faces=calib_faces,
             )
             mesh = None
             if mesh_data and mesh_data > 1:
@@ -1023,6 +1035,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "on the MXU int8 path; ~1.4x step throughput — "
                         "calibrate on real faces for imported weights, "
                         "see models/quantize.py)")
+    p.add_argument("--quantize_calib", type=str, default=None,
+                   help="directory of aligned face crops for int8 "
+                        "activation-scale calibration (required in practice "
+                        "with --quantize int8 on imported weights)")
     p.add_argument("--use_gpu", action="store_true")
     p.add_argument("--use_cpu", action="store_true")
     return p
@@ -1053,6 +1069,7 @@ def main(argv=None) -> int:
         transport=args.transport,
         embed_budget=args.embed_budget,
         quantize=args.quantize,
+        quantize_calib=args.quantize_calib,
     )
     httpd = serve(server, args.host, args.port)
     try:

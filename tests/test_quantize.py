@@ -59,8 +59,11 @@ def test_quantized_tree_structure_and_dtypes():
             # (max|w_q| == 127 per channel, up to rounding)
             per_ch = np.abs(sub["kernel_q"]).max(axis=(0, 1, 2))
             assert (per_ch >= 126).all()
-        # untouched pieces copy through
-        assert "kernel" in params[blk].get("shortcut_conv", {"kernel": None}) or True
+        # untouched pieces copy through in float
+        if "shortcut_conv" in params[blk]:
+            sc = params[blk]["shortcut_conv"]
+            assert sc["kernel"].dtype == np.float32
+            assert "bias" in sc
         assert "alpha" in params[blk]["res_prelu"]
     # float tail preserved
     assert "kernel" in params["output_fc"]
@@ -160,3 +163,65 @@ def test_missing_calibration_block_raises():
     bad = {k: v for k, v in amax.items() if not k.endswith("unit0")}
     with pytest.raises(ValueError, match="amax"):
         quantize_folded_variables(folded, bad)
+
+
+def test_quantized_forward_tracks_fp32_at_bf16():
+    """The serving config (dtype=bfloat16, quantize='int8') must hold the
+    same numeric tolerance as f32 — server.py builds exactly this."""
+    faces = default_calibration_faces(8, seed=21)
+    e_ref = FaceEmbedder(architecture="ir_micro", model_path=None, init_seed=13)
+    e_q16 = FaceEmbedder(
+        architecture="ir_micro", model_path=None, init_seed=13,
+        dtype=jnp.bfloat16, quantize="int8",
+        calib_faces=default_calibration_faces(8, seed=22),
+    )
+    f_ref = e_ref.extract_embeddings_batch(faces)
+    f_q = e_q16.extract_embeddings_batch(faces)
+    cos = np.sum(f_ref * f_q, axis=1)
+    assert cos.min() > 0.985, f"bf16+int8 drifted: cosine min {cos.min()}"
+
+
+def test_load_calibration_faces_dir(tmp_path):
+    from facerecognitionpipeline_tpu.models.quantize import load_calibration_faces
+    from facerecognitionpipeline_tpu.utils.io import imwrite_rgb
+
+    crops = default_calibration_faces(3, seed=1)
+    for i, c in enumerate(crops):
+        imwrite_rgb(str(tmp_path / f"face_{i}.png"), c)
+    # odd-size crop exercises the resize path
+    imwrite_rgb(str(tmp_path / "big.png"), np.zeros((160, 160, 3), np.uint8))
+    (tmp_path / "notes.txt").write_text("ignored")
+    loaded = load_calibration_faces(str(tmp_path), limit=3)
+    assert loaded.shape == (3, 112, 112, 3) and loaded.dtype == np.uint8
+    with pytest.raises(ValueError, match="no readable"):
+        load_calibration_faces(str(tmp_path / "empty_missing"))
+
+
+@pytest.mark.parametrize(
+    "use_se,conv_shortcut",
+    [(True, False), (False, True)],  # IR-SE blocks; iresnet conv shortcuts
+)
+def test_quantized_variants_track_fp32(use_se, conv_shortcut):
+    """SE modules and iresnet conv shortcuts copy through unquantized and
+    the quantized forward still tracks fp32 (the plain-IR case is covered
+    by test_quantized_forward_tracks_fp32)."""
+    from facerecognitionpipeline_tpu.models.irse import IRBackbone
+
+    kw = dict(units=(1, 1, 1, 1), use_se=use_se, conv_shortcut=conv_shortcut)
+    model = IRBackbone(**kw)
+    variables = model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 112, 112, 3), jnp.float32)
+    )
+    folded = fold_inference_variables(variables)
+    fmodel = IRBackbone(**kw, folded=True)
+    amax = calibrate_activation_amax(fmodel, folded, _calib_batch(8, seed=31))
+    qvars = quantize_folded_variables(folded, amax)
+    if use_se:
+        blk = next(k for k in qvars["params"] if k.startswith("stage"))
+        assert "se" in qvars["params"][blk]  # copied through, float
+    qmodel = IRBackbone(**kw, folded=True, quantized=True)
+    x = preprocess_faces(jnp.asarray(default_calibration_faces(6, seed=32)))
+    f_ref, _ = fmodel.apply(folded, x)
+    f_q, _ = qmodel.apply(qvars, x)
+    cos = np.sum(np.asarray(f_ref) * np.asarray(f_q), axis=1)
+    assert cos.min() > 0.99, f"variant drifted: cosine min {cos.min()}"
