@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--det", type=int, default=640)
     ap.add_argument("--chain", type=int, default=5)
     ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument("--quantize", type=str, default=None, choices=["int8"],
+                    help="profile the int8-quantized embedder instead of bf16")
     args = ap.parse_args()
 
     from facerecognitionpipeline_tpu.utils.compile_cache import (
@@ -60,7 +62,9 @@ def main() -> None:
     detector = MTCNNDetector(
         det_size=(DET, DET), max_faces=F, min_face_size=40, dtype=jnp.bfloat16
     )
-    embedder = FaceEmbedder(architecture="ir_101", dtype=jnp.bfloat16)
+    embedder = FaceEmbedder(
+        architecture="ir_101", dtype=jnp.bfloat16, quantize=args.quantize
+    )
     engine = RecognitionEngine(detector, embedder, top_k=3)
 
     gallery = DeviceGallery()
@@ -139,7 +143,8 @@ def main() -> None:
         print(f"{name:34s} {ms:8.2f} ms{flag}")
         return ms
 
-    print(f"config: B={B} F={F} det={DET} ir_101 bf16  (chained x{args.chain})")
+    prec = "int8" if args.quantize else "bf16"
+    print(f"config: B={B} F={F} det={DET} ir_101 {prec}  (chained x{args.chain})")
 
     res = {}
     res["detect (cascade)"] = timed(
