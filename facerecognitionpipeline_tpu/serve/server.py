@@ -25,7 +25,9 @@ TPU-native core, and deliberate fixes over the reference:
   (reference bug face_recognition_server.py:355 vs :825);
 * POST /process_frame_raw accepts raw letterboxed planes as octet-stream
   (rawproto.py): the per-frame base64+imdecode host cost — the measured
-  multi-client ceiling — drops to a frombuffer+reshape.
+  multi-client ceiling — drops to a frombuffer+reshape;
+* POST /reload_gallery hot-swaps enrollment from the configured pickle
+  without a restart (the reference loads the gallery once at startup).
 """
 
 from __future__ import annotations
@@ -831,6 +833,27 @@ class FaceRecognitionServer:
             f"{len(attendance['unrecognized'])} unrecognized tracks"
         )
 
+    def reload_gallery(self) -> Dict:
+        """Re-read the configured gallery pickle from disk and expose the new
+        identities to serving without a restart (`POST /reload_gallery`).
+
+        The reference requires a server restart after enrollment
+        (`face_recognition_server.py:126-228` loads the gallery once at
+        startup). Here `GalleryManager.load` swaps the records under its
+        sync lock and marks the device snapshot dirty; the batcher's next
+        dispatch rebuilds the device templates, and in-flight requests keep
+        matching against the snapshot they dispatched with (indices resolve
+        against the per-dispatch `gallery_ids` — see `_process_canvas`)."""
+        path = self.gallery.gallery_path
+        if not os.path.exists(path):
+            raise ValueError(f"gallery file not found: {path}")
+        self.gallery.load()
+        return {
+            "status": "reloaded",
+            "gallery_path": path,
+            "num_students": len(self.gallery.students),
+        }
+
     def shutdown(self) -> None:
         self.batcher.stop()
 
@@ -966,6 +989,15 @@ def make_handler(server: FaceRecognitionServer):
                         client_report=data.get("client_performance_report")
                     )
                     self._json({"status": "finalized"})
+                elif self.path == "/reload_gallery":
+                    # Hot-swap enrollment without a restart: re-read the
+                    # CONFIGURED gallery pickle (no client-supplied path —
+                    # an HTTP-chosen pickle path would be a remote
+                    # file-read/deserialize vector). The offline workflow is
+                    # `enroll_students` writing students.pkl, then this
+                    # route; the batcher picks the new device snapshot up at
+                    # its next dispatch (gallery._sync_lock + dirty flag).
+                    self._json(server.reload_gallery())
                 else:
                     self._json({"error": "not found"}, 404)
             except ValueError as e:

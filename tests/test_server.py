@@ -751,3 +751,37 @@ def test_batcher_malformed_frame_scoped_to_its_own_future(rng):
         assert float(good2.result(timeout=30)["marker"]) == 9.0
     finally:
         batcher.stop()
+
+
+def test_reload_gallery_route(server, rng):
+    """POST /reload_gallery hot-swaps enrollment from the configured pickle:
+    new identities become matchable without a restart, and a missing file is
+    a 400, not a 500."""
+    srv, url, tmp_path = server
+    assert len(srv.gallery.students) == 3
+
+    # offline enrollment happens out-of-process: write an updated pickle
+    srv.gallery.save()  # persist the fixture's in-memory records first
+    offline = GalleryManager(
+        gallery_path=srv.gallery.gallery_path, verbose=False
+    )
+    assert len(offline.students) == 3
+    emb = rng.normal(size=(2, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    offline.add_student("STU9999", "Late Enrollee", emb)
+    offline.save()
+
+    r = requests.post(f"{url}/reload_gallery", json={}, timeout=10)
+    assert r.status_code == 200
+    body = r.json()
+    assert body["status"] == "reloaded"
+    assert body["num_students"] == 4
+    # the device snapshot the batcher dispatches with now carries the new id
+    _, _, ids = srv.gallery.device_snapshot()
+    assert "STU9999" in ids
+
+    # missing file -> client error, not a 500
+    srv.gallery.gallery_path = str(tmp_path / "definitely_missing.pkl")
+    r = requests.post(f"{url}/reload_gallery", json={}, timeout=10)
+    assert r.status_code == 400
+    assert "not found" in r.json()["error"]
