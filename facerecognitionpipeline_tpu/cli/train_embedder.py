@@ -71,6 +71,7 @@ def main(argv=None) -> int:
     from facerecognitionpipeline_tpu.train.data import (
         FolderDataset,
         folder_batches,
+        prefetch_to_device,
         synthetic_batches,
     )
     from facerecognitionpipeline_tpu.train.trainer import TrainConfig, Trainer
@@ -126,6 +127,16 @@ def main(argv=None) -> int:
         batches = synthetic_batches(num_classes, args.batch_size, stream_seed)
     else:
         batches = folder_batches(dataset, args.batch_size, seed=stream_seed)
+    # Overlap H2D with compute: upload batches `depth` ahead, landing them
+    # already data-sharded (a blocking per-step upload costs more than the
+    # step itself on tunneled links — PERFORMANCE.md "Training throughput").
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    batches = prefetch_to_device(
+        batches,
+        depth=2,
+        sharding=NamedSharding(mesh, PartitionSpec("data")),
+    )
 
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()

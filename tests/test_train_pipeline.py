@@ -166,3 +166,49 @@ def test_folder_batches_abandoned_consumer_stops_producer(tmp_path, rng):
     for t in spawned:
         t.join(timeout=5.0)
     assert not any(t.is_alive() for t in spawned)
+
+
+def test_prefetch_to_device_preserves_stream():
+    """prefetch_to_device yields the same batches in order, as device
+    arrays, and shuts its producer down when the consumer abandons it."""
+    import itertools
+    import threading as _threading
+    import time
+
+    import jax
+
+    from facerecognitionpipeline_tpu.train.data import (
+        prefetch_to_device,
+        synthetic_batches,
+    )
+
+    src = list(itertools.islice(synthetic_batches(4, 8, seed=3), 5))
+    out = list(prefetch_to_device(iter(src), depth=2))
+    assert len(out) == 5
+    for (si, sl), (di, dl) in zip(src, out):
+        assert isinstance(di, jax.Array) and isinstance(dl, jax.Array)
+        np.testing.assert_array_equal(np.asarray(di), si)
+        np.testing.assert_array_equal(np.asarray(dl), sl)
+
+    # early abandonment must not leave the producer thread alive
+    gen = prefetch_to_device(synthetic_batches(4, 8, seed=4), depth=2)
+    next(gen)
+    gen.close()
+    time.sleep(0.5)
+    assert not any(
+        t.name == "prefetch_to_device" and t.is_alive()
+        for t in _threading.enumerate()
+    )
+
+
+def test_prefetch_to_device_propagates_errors():
+    from facerecognitionpipeline_tpu.train.data import prefetch_to_device
+
+    def bad_stream():
+        yield (np.zeros((2, 4), np.float32), np.zeros((2,), np.int32))
+        raise RuntimeError("decode exploded")
+
+    gen = prefetch_to_device(bad_stream(), depth=2)
+    next(gen)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        list(gen)
