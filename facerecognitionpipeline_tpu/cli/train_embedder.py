@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale", type=float, default=64.0)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="device-staging depth for input batches (0 = upload "
+                        "synchronously per step; use 0 on hosts whose device "
+                        "link serializes transfers with execution)")
     p.add_argument("--learning_rate", type=float, default=0.1)
     p.add_argument("--lr_schedule", choices=("constant", "cosine", "step"),
                    default="constant",
@@ -127,16 +131,20 @@ def main(argv=None) -> int:
         batches = synthetic_batches(num_classes, args.batch_size, stream_seed)
     else:
         batches = folder_batches(dataset, args.batch_size, seed=stream_seed)
-    # Overlap H2D with compute: upload batches `depth` ahead, landing them
-    # already data-sharded (a blocking per-step upload costs more than the
-    # step itself on tunneled links — PERFORMANCE.md "Training throughput").
-    from jax.sharding import NamedSharding, PartitionSpec
+    if args.prefetch > 0:
+        # Overlap H2D with compute: upload batches `depth` ahead, landing
+        # them already data-sharded. On hosts whose device link serializes
+        # transfers with execution (this image's tunnel), overlap buys
+        # nothing and --prefetch 0 avoids the producer-thread contention;
+        # on real PCIe/TPU hosts DMA overlaps and this hides the upload
+        # (PERFORMANCE.md "Training throughput").
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    batches = prefetch_to_device(
-        batches,
-        depth=2,
-        sharding=NamedSharding(mesh, PartitionSpec("data")),
-    )
+        batches = prefetch_to_device(
+            batches,
+            depth=args.prefetch,
+            sharding=NamedSharding(mesh, PartitionSpec("data")),
+        )
 
     rng = jax.random.PRNGKey(args.seed)
     t0 = time.perf_counter()
