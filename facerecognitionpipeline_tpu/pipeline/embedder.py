@@ -167,9 +167,15 @@ class FaceEmbedder:
                         file=sys.stderr,
                     )
                 calib_faces = default_calibration_faces()
-            faces_pm1 = preprocess_faces(
-                jnp.asarray(np.asarray(calib_faces)), dtype=dtype
-            )
+            calib_faces = np.asarray(calib_faces)
+            if calib_faces.ndim != 4 or calib_faces.shape[0] == 0 or (
+                calib_faces.shape[-1] != 3
+            ):
+                raise ValueError(
+                    f"calib_faces must be [N>0, H, W, 3] RGB crops, got "
+                    f"shape {calib_faces.shape}"
+                )
+            faces_pm1 = preprocess_faces(jnp.asarray(calib_faces), dtype=dtype)
             amax = calibrate_activation_amax(
                 self.model, self.variables, faces_pm1
             )

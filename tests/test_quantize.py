@@ -121,6 +121,14 @@ def test_embedder_quantize_validation():
             architecture="ir_micro", model_path=None, quantize="int8",
             fold_bn=False,
         )
+    for bad in (np.zeros((0, 112, 112, 3), np.uint8),
+                np.zeros((112, 112, 3), np.uint8),
+                np.zeros((4, 112, 112), np.uint8)):
+        with pytest.raises(ValueError, match="calib_faces"):
+            FaceEmbedder(
+                architecture="ir_micro", model_path=None, quantize="int8",
+                calib_faces=bad,
+            )
 
 
 def test_engine_runs_with_quantized_embedder():
