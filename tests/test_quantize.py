@@ -233,3 +233,32 @@ def test_quantized_variants_track_fp32(use_se, conv_shortcut):
     f_q, _ = qmodel.apply(qvars, x)
     cos = np.sum(np.asarray(f_ref) * np.asarray(f_q), axis=1)
     assert cos.min() > 0.99, f"variant drifted: cosine min {cos.min()}"
+
+
+def test_engine_budget_composes_with_quantized_embedder():
+    """--embed_budget K --quantize int8 (the production serving combo):
+    the compacted gather/scatter path must respect the embedded mask with a
+    quantized backbone exactly as with the bf16 one."""
+    from facerecognitionpipeline_tpu.gallery.search import DeviceGallery
+    from facerecognitionpipeline_tpu.models.detector import MTCNNDetector
+    from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
+
+    det = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=20)
+    emb = FaceEmbedder(
+        architecture="ir_micro", model_path=None, quantize="int8",
+        calib_faces=default_calibration_faces(8, seed=41),
+    )
+    eng = RecognitionEngine(det, emb, top_k=2, embed_budget=2)
+    gal = DeviceGallery()
+    rng = np.random.default_rng(1)
+    t = rng.normal(size=(8, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    gal.rebuild([f"id{i}" for i in range(8)], t)
+    frames = rng.integers(0, 256, size=(2, 160, 160, 3), dtype=np.uint8)
+    out = eng.process_frames(frames, gal._templates, gal._valid, gallery_k=2)
+    embedded = np.asarray(out["embedded"])
+    assert embedded.sum(axis=1).max() <= 2  # budget respected
+    # non-embedded slots carry sentinel scores; embedded ones are finite
+    scores = np.asarray(out["match_scores"])
+    assert (scores[~embedded] == -1.0).all()
+    assert np.isfinite(scores[embedded]).all()
