@@ -32,10 +32,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale", type=float, default=64.0)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--steps", type=int, default=1000)
-    p.add_argument("--prefetch", type=int, default=2,
-                   help="device-staging depth for input batches (0 = upload "
-                        "synchronously per step; use 0 on hosts whose device "
-                        "link serializes transfers with execution)")
+    p.add_argument("--prefetch", type=int, default=0,
+                   help="device-staging depth for input batches (default 0 "
+                        "= upload synchronously per step). Set 2 on real "
+                        "PCIe/TPU hosts to overlap H2D with compute; keep 0 "
+                        "on hosts whose device link serializes transfers "
+                        "with execution (measured slower there - "
+                        "PERFORMANCE.md 'Training throughput')")
     p.add_argument("--learning_rate", type=float, default=0.1)
     p.add_argument("--lr_schedule", choices=("constant", "cosine", "step"),
                    default="constant",

@@ -312,9 +312,15 @@ class GalleryManager:
         self._log(f"Gallery saved to {save_path}")
         self._log(f"Metadata saved to {json_path}")
 
-    def load(self, path: Optional[str] = None) -> None:
+    def load(self, path: Optional[str] = None, strict: bool = False) -> None:
+        """strict=True raises on a missing file instead of silently keeping
+        the current records — callers that report success (the server's
+        /reload_gallery) must not be able to claim a reload that never
+        happened (e.g. a non-atomic rewrite racing the exists check)."""
         load_path = path or self.gallery_path
         if not os.path.exists(load_path):
+            if strict:
+                raise ValueError(f"gallery file not found: {load_path}")
             self._log(f"Gallery file not found: {load_path}")
             return
         with open(load_path, "rb") as f:

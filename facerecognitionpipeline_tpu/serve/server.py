@@ -172,6 +172,9 @@ class FaceRecognitionServer:
         self.tracker_mode = tracker_mode
 
         self.gallery = gallery or GalleryManager(gallery_path=gallery_path)
+        # (mtime_ns, size) of the last pickle loaded via /reload_gallery —
+        # None means "never reloaded", so the first reload always loads
+        self._gallery_file_sig = None
 
         if engine is None:
             import jax.numpy as jnp
@@ -845,9 +848,25 @@ class FaceRecognitionServer:
         matching against the snapshot they dispatched with (indices resolve
         against the per-dispatch `gallery_ids` — see `_process_canvas`)."""
         path = self.gallery.gallery_path
-        if not os.path.exists(path):
+        # Amplification guard: an (auth-free) reload request otherwise costs
+        # a full unpickle + a full device-gallery rebuild at the next
+        # dispatch — at production gallery sizes that is a near-free request
+        # triggering gigabyte-scale work. Skip when the file is unchanged.
+        try:
+            st = os.stat(path)
+        except OSError:
             raise ValueError(f"gallery file not found: {path}")
-        self.gallery.load()
+        sig = (st.st_mtime_ns, st.st_size)
+        if sig == self._gallery_file_sig:
+            return {
+                "status": "unchanged",
+                "gallery_path": path,
+                "num_students": len(self.gallery.students),
+            }
+        # strict: a non-atomic rewrite racing the stat above must surface as
+        # an error, never as status=reloaded with stale records
+        self.gallery.load(strict=True)
+        self._gallery_file_sig = sig
         return {
             "status": "reloaded",
             "gallery_path": path,

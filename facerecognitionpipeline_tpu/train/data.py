@@ -90,6 +90,19 @@ def folder_batches(
     )
 
 
+def _put_or_stop(q: "queue.Queue", stop: threading.Event, item) -> bool:
+    """Queue-put that a consumer abandonment can unblock: a plain put() on a
+    full queue blocks forever even after the consumer walks away (stop.set()
+    can't interrupt it) — poll so the producer thread can actually exit."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.2)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _folder_batches_iter(
     dataset, batch_size, seed, epochs, augment_flip, num_workers, prefetch
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -98,16 +111,7 @@ def _folder_batches_iter(
     stop = threading.Event()
 
     def put_or_stop(item) -> bool:
-        # A plain put() on a full queue blocks forever even after the
-        # consumer abandons the generator (stop.set() can't unblock it) —
-        # poll so the producer thread can actually exit.
-        while not stop.is_set():
-            try:
-                out_q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
+        return _put_or_stop(out_q, stop, item)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -217,26 +221,17 @@ def prefetch_to_device(
     done = object()
     errors: list = []
 
-    def put_or_stop(item) -> bool:
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
-
     def producer():
         try:
             for batch in batches:
                 dev = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, sharding), batch
                 )
-                if not put_or_stop(dev):
+                if not _put_or_stop(q, stop, dev):
                     return
         except BaseException as e:  # surfaced on the consumer thread
             errors.append(e)
-        put_or_stop(done)
+        _put_or_stop(q, stop, done)
 
     thread = threading.Thread(
         target=producer, daemon=True, name="prefetch_to_device"

@@ -780,6 +780,12 @@ def test_reload_gallery_route(server, rng):
     _, _, ids = srv.gallery.device_snapshot()
     assert "STU9999" in ids
 
+    # amplification guard: an unchanged file short-circuits to a stat call
+    # (a looping client must not force repeated unpickle + device rebuilds)
+    r = requests.post(f"{url}/reload_gallery", json={}, timeout=10)
+    assert r.status_code == 200
+    assert r.json()["status"] == "unchanged"
+
     # missing file -> client error, not a 500
     srv.gallery.gallery_path = str(tmp_path / "definitely_missing.pkl")
     r = requests.post(f"{url}/reload_gallery", json={}, timeout=10)
