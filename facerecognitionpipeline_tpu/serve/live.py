@@ -67,6 +67,18 @@ class LiveFaceRecognition:
             quantize=quantize,
             quantize_calib=quantize_calib,
         )
+        # recognition_interval keeps the reference's unit: CAPTURED frames
+        # (face_recognition_live.py:38 processes every captured frame). This
+        # app adds --frame_skip, and the core's live gate counts PROCESSED
+        # frames, so convert: every `interval` captured ~= every
+        # `interval // skip` processed. Without this, skip 5 x interval 30
+        # attempts every 150 captured frames (5 s at 30 fps) instead of the
+        # reference's every 30 (1 s) — and coprime combos compose into
+        # lcm-scale droughts under raw-count gating.
+        skip = max(1, int(frame_skip))
+        eff = max(1, self.core.recognition_interval // skip)
+        if eff != self.core.recognition_interval:
+            self.core.recognition_interval = eff
         self.session_name = session_name or datetime.now().strftime(
             "live_%Y%m%d_%H%M%S"
         )
@@ -137,12 +149,22 @@ class LiveFaceRecognition:
 
     def run(self) -> int:
         last_time = datetime.now()
+        processed = 0
         try:
             for frame in self._source():
                 self.frame_count += 1
                 if self.frame_count % self.frame_skip == 0:
+                    processed += 1
+                    # Gate recognition on the PROCESSED-frame count, not the
+                    # raw capture count: the tracker's live gate is
+                    # `count % recognition_interval == 0` (reference
+                    # face_recognition_live.py:38, which processes every
+                    # frame), so feeding the raw count composes with
+                    # frame_skip into lcm(skip, interval) — e.g. skip 7 x
+                    # interval 30 attempted every 210 captured frames, aging
+                    # tracks out before their first attempt.
                     self._last_result = self.core.process_full_frame(
-                        frame, self.frame_count, datetime.now().isoformat()
+                        frame, processed, datetime.now().isoformat()
                     )
                 now = datetime.now()
                 dt = (now - last_time).total_seconds()

@@ -335,21 +335,30 @@ class FaceRecognitionServer:
                 },
             }
         )
-        self._write_attendance(
-            {
-                "session_id": self.session_name,
-                "last_updated": datetime.now().isoformat(),
-                "recognized": [],
-                "unrecognized": [],
-            }
-        )
+        # under _io_lock: re-initializing the SAME session name must not
+        # interleave with an in-flight frame's attendance write (same
+        # _lock -> _io_lock order as finalize; never the reverse)
+        with self._io_lock:
+            self._write_attendance(
+                {
+                    "session_id": self.session_name,
+                    "last_updated": datetime.now().isoformat(),
+                    "recognized": [],
+                    "unrecognized": [],
+                }
+            )
 
     def _write_session(self, data: Dict) -> None:
         with open(os.path.join(self.session_dir, "session.json"), "w") as f:
             json.dump(data, f, indent=2)
 
-    def _write_attendance(self, data: Dict) -> None:
-        with open(os.path.join(self.session_dir, "attendance.json"), "w") as f:
+    def _write_attendance(self, data: Dict, session_dir: Optional[str] = None) -> None:
+        """session_dir: pass the CAPTURED dir when writing on behalf of an
+        in-flight frame — a session swap between that frame's dispatch and
+        its io block must not route one session's attendance into the
+        other's file (read-from-captured + write-to-live corrupted BOTH)."""
+        target = session_dir or self.session_dir
+        with open(os.path.join(target, "attendance.json"), "w") as f:
             json.dump(data, f, indent=2)
 
     # ------------------------------------------------------------ frame path
@@ -518,8 +527,15 @@ class FaceRecognitionServer:
                     # np.asarray's) — most frames never do, and the link is
                     # the multi-client serving ceiling
                     "aligned_face": result["aligned"][i],
-                    "original_crop": self._margin_crop(
-                        crop_frame(), canvas_bbox / crop_scale
+                    # lazy, like aligned_face: the margin crop (slice + copy
+                    # + possible LANCZOS resize) is only ever read when a
+                    # recognition event persists it (_save_face_image) — a
+                    # handful of times per track, not 16 faces x every frame
+                    # on the single decode-bound host core. Bind loop values
+                    # via defaults; all faces share the one frame closure.
+                    "original_crop": (
+                        lambda _cf=crop_frame, _bb=canvas_bbox / crop_scale:
+                        self._margin_crop(_cf(), _bb)
                     ),
                     "match": matches,
                     "timestamp": timestamp,
@@ -718,6 +734,8 @@ class FaceRecognitionServer:
         )
         imwrite_rgb(aligned_path, face["aligned_face"])
         crop = face.get("original_crop")
+        if callable(crop):
+            crop = crop()
         if crop is not None and crop.size:
             imwrite_rgb(
                 os.path.join(
@@ -788,7 +806,7 @@ class FaceRecognitionServer:
                     }
                 )
         attendance["last_updated"] = datetime.now().isoformat()
-        self._write_attendance(attendance)
+        self._write_attendance(attendance, session_dir=session_dir)
 
     # --------------------------------------------------------------- actions
 
@@ -815,8 +833,13 @@ class FaceRecognitionServer:
 
         with open(os.path.join(self.session_dir, "session.json")) as f:
             session_data = json.load(f)
-        with open(os.path.join(self.session_dir, "attendance.json")) as f:
-            attendance = json.load(f)
+        # _io_lock: the frame io path writes attendance.json under _io_lock
+        # only (not _lock) — reading without it can catch open('w')'s
+        # truncation mid-write. Order is always _lock -> _io_lock (the io
+        # block never takes _lock), so this cannot deadlock.
+        with self._io_lock:
+            with open(os.path.join(self.session_dir, "attendance.json")) as f:
+                attendance = json.load(f)
         session_data.update(
             end_time=session_end.isoformat(),
             status="completed",
@@ -899,7 +922,13 @@ def make_handler(server: FaceRecognitionServer):
             length = int(self.headers.get("Content-Length", 0))
             if not length:
                 return {}
-            return json.loads(self.rfile.read(length) or b"{}")
+            data = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(data, dict):
+                # ValueError -> the 400 handler (client fault, not a 500)
+                raise ValueError(
+                    f"request body must be a JSON object, got {type(data).__name__}"
+                )
+            return data
 
         def do_GET(self):
             if self.path == "/health":

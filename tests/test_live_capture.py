@@ -75,3 +75,35 @@ def test_live_app_recognizes_and_finalizes(tmp_path, rng):
     assert sess["status"] == "completed"
     assert sess["statistics"]["total_frames_processed"] == 4
     assert (session_dir / "performance_report_server.json").exists()
+
+
+def test_live_frame_skip_composes_with_recognition_interval(tmp_path, rng):
+    """--frame_skip must not starve recognition: interval stays in CAPTURED-
+    frame units (the reference processes every frame), so skip 7 x interval
+    30 must still attempt within ~30 captured frames — under raw-count
+    modulo gating it attempted only at lcm(7,30)=210."""
+    gallery = GalleryManager(gallery_path=str(tmp_path / "g.pkl"), verbose=False)
+    emb = rng.normal(size=(2, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    gallery.add_student("STU0000", "Student 0", emb)
+
+    core = FaceRecognitionServer(
+        gallery=gallery,
+        similarity_threshold=0.5,
+        output_dir=str(tmp_path / "sessions"),
+        engine=FakeEngine(gallery),
+        recognition_interval=30,
+    )
+    app = LiveFaceRecognition(
+        core=core,
+        session_name="skip_test",
+        synthetic=True,
+        frame_skip=7,
+        max_frames=49,  # 7 processed frames; raw%30==0 never processed
+        display=False,
+    )
+    assert core.recognition_interval == 4  # 30 captured // 7 skip
+    assert app.run() == 0
+    with open(tmp_path / "sessions" / "skip_test" / "attendance.json") as f:
+        att = json.load(f)
+    assert att["recognized"], "recognition starved by frame_skip composition"
