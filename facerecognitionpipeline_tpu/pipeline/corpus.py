@@ -29,9 +29,15 @@ from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
 from facerecognitionpipeline_tpu.pipeline.processor import FaceProcessor
 from facerecognitionpipeline_tpu.utils.io import imread_rgb, list_images
 
+# The reference has a category-name mismatch: its embedding generator looks
+# for 'high_quality' (embedding_generator.py:223) while its segmenter emits
+# 'baseline' (segment_dataset.py:27), so the best-quality bucket silently
+# vanished from its segmented corpus.  We scan both names so the bucket
+# survives regardless of which tool produced the directories.
 SEGMENT_CATEGORIES = [
-    "high_quality", "blur_blurry", "blur_sharp", "face_large", "face_medium",
-    "face_small", "pose_easy", "pose_medium", "pose_hard", "low_quality",
+    "baseline", "high_quality", "blur_blurry", "blur_sharp", "face_large",
+    "face_medium", "face_small", "pose_easy", "pose_medium", "pose_hard",
+    "low_quality",
 ]
 
 
@@ -174,7 +180,10 @@ class EmbeddingGenerator:
                 images.append(img)
         if not images:
             return {}
-        embeddings = self._embed_batch(np.stack(images))
+        # Pass the list (not a pre-stacked array): raw probe crops can mix
+        # sizes (e.g. 250x250 LFW next to real crops) and the embedder
+        # resizes per image when given a sequence.
+        embeddings = self._embed_batch(images)
 
         data: Dict[str, Dict] = {}
         for fname, emb in zip(names, embeddings):
@@ -233,7 +242,9 @@ class EmbeddingGenerator:
             "lfw": {"embeddings": [], "filenames": []},
         }
         if images:
-            embeddings = self._embed_batch(np.stack(images))
+            # List, not np.stack: the negative dir deliberately mixes real
+            # crops with LFW images of a different size.
+            embeddings = self._embed_batch(images)
             for fname, emb in zip(names, embeddings):
                 cat = "lfw" if "lfw" in fname.lower() else "real"
                 negative[cat]["embeddings"].append(emb)

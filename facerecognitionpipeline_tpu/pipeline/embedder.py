@@ -250,7 +250,7 @@ class FaceEmbedder:
         set of compiled programs, then slices the padding off.
         """
         if len(face_images) == 0:
-            return np.array([])
+            return np.zeros((0, 512), np.float32)
 
         if isinstance(face_images, np.ndarray) and face_images.ndim == 4:
             arrs = face_images.astype(np.float32)

@@ -58,10 +58,20 @@ class ProbeSegmenter:
         """Dataset-relative blur cutoffs (reference segment_dataset.py:38-49)."""
         scores = sorted(m.get("blur_score", 0.0) for m in metadata_list)
         sharp_idx = int(len(scores) * (1 - self.blur_sharp_percentile / 100.0))
-        self.blur_sharp_threshold = scores[sharp_idx] if sharp_idx < len(scores) else 0
+        # Out-of-range fallbacks keep the requested semantics at the
+        # percentile boundaries (the reference falls back to 0 for both,
+        # which inverts them: sharp_percentile=0 would mark EVERYTHING
+        # sharp — segment_dataset.py:42-46).  sharp_idx==len means "top 0%
+        # sharp" -> +inf admits nothing; blurry_idx==len means "bottom 100%
+        # blurry" -> the max score admits everything.
+        self.blur_sharp_threshold = (
+            scores[sharp_idx] if sharp_idx < len(scores) else float("inf")
+        )
         blurry_idx = int(len(scores) * (self.blur_blurry_percentile / 100.0))
         self.blur_blurry_threshold = (
-            scores[blurry_idx] if blurry_idx < len(scores) else 0
+            scores[blurry_idx]
+            if blurry_idx < len(scores)
+            else (scores[-1] if scores else 0.0)
         )
 
     def categorize_face(self, metadata: Dict) -> List[str]:
@@ -78,6 +88,9 @@ class ProbeSegmenter:
             pose <= self.pose_easy_threshold
             and size >= self.face_medium_threshold
             and blur >= self.blur_sharp_threshold
+            # 0.7 is hardcoded for parity: the reference's baseline gate does
+            # not use det_score_threshold either (segment_dataset.py:62-66);
+            # the configurable threshold only drives 'low_quality'.
             and det >= 0.7
         ):
             cats.append("baseline")
@@ -111,7 +124,12 @@ class ProbeSegmenter:
         for m in metadata_list:
             name = m["filename"]
             for f in actual:
-                if f.endswith(name):
+                # Exact match or a label-prefixed rename ('Jane_' + name).
+                # The reference's bare endswith (segment_dataset.py:106) can
+                # bind class-1 metadata to class-11's file ('...11_x.jpg'
+                # ends with '1_x.jpg'); requiring the '_' separator before
+                # the suffix removes that cross-class aliasing.
+                if f == name or f.endswith("_" + name):
                     mapping[name] = f
                     break
         missing = len(metadata_list) - len(mapping)

@@ -48,7 +48,12 @@ def test_generate_all(tmp_path, embedder, rng):
         _png(str(output / "probe_labeled" / "positive" / fname), rng, (112, 112, 3))
     _png(str(output / "probe_labeled" / "segmented" / "pose_easy" /
              "Jane_Doe_002_face0.png"), rng, (112, 112, 3))
-    _png(str(output / "probe_labeled" / "negative" / "lfw_000.png"), rng, (112, 112, 3))
+    # 'baseline' is what the segmenter actually emits (the reference's
+    # embedding generator looked for 'high_quality' and dropped the bucket)
+    _png(str(output / "probe_labeled" / "segmented" / "baseline" /
+             "Bob_Roe_002_face0.png"), rng, (112, 112, 3))
+    # negative dir deliberately mixes sizes: LFW 250x250 next to real crops
+    _png(str(output / "probe_labeled" / "negative" / "lfw_000.png"), rng, (250, 250, 3))
     _png(str(output / "probe_labeled" / "negative" / "stranger_01.png"), rng, (112, 112, 3))
 
     processor = FaceProcessor(
@@ -68,6 +73,7 @@ def test_generate_all(tmp_path, embedder, rng):
     assert summary["gallery"]["few_shot_augmented_persons"] == 2
     assert summary["probe_positive"]["unsegmented_categories"] == ["all"]
     assert "pose_easy" in summary["probe_positive"]["segmented_categories"]
+    assert "baseline" in summary["probe_positive"]["segmented_categories"]
     assert summary["probe_negative"]["lfw_images"] == 1
     assert summary["probe_negative"]["real_images"] == 1
 

@@ -126,6 +126,33 @@ def test_segmenter_buckets(tmp_path, metadata_and_files):
     assert os.path.exists(os.path.join(out, "pose_medium", "medium_pose.jpg"))
 
 
+def test_filename_mapping_no_cross_class_aliasing(tmp_path, rng):
+    """'1_center_001.jpg' metadata must not bind to class-11's labeled file
+    even though '11_center_001.jpg' string-ends with it."""
+    probe_dir = tmp_path / "probes"
+    probe_dir.mkdir()
+    for f in ("Jane_11_center_001.jpg", "Amy_1_center_001.jpg"):
+        _write_png(str(probe_dir / f), rng, shape=(16, 16, 3))
+    seg = ProbeSegmenter()
+    mapping = seg.build_filename_mapping(
+        str(probe_dir),
+        [{"filename": "1_center_001.jpg"}, {"filename": "11_center_001.jpg"}],
+    )
+    assert mapping["1_center_001.jpg"] == "Amy_1_center_001.jpg"
+    assert mapping["11_center_001.jpg"] == "Jane_11_center_001.jpg"
+
+
+def test_blur_threshold_percentile_boundaries():
+    """sharp_percentile=0 -> nothing sharp; blurry_percentile=100 -> all
+    blurry (the reference's 0-fallback inverted both)."""
+    meta = [{"blur_score": float(v)} for v in (10, 20, 30, 40)]
+    seg = ProbeSegmenter(blur_sharp_percentile=0, blur_blurry_percentile=100)
+    seg.compute_blur_thresholds(meta)
+    cats = [seg.categorize_face(m) for m in meta]
+    assert not any("blur_sharp" in c for c in cats)
+    assert all("blur_blurry" in c for c in cats)
+
+
 def test_segmenter_symlink_mode(tmp_path, metadata_and_files):
     probe_dir, meta_path, _ = metadata_and_files
     seg = ProbeSegmenter()

@@ -27,7 +27,10 @@ def test_batch_embedding_consistent_with_single(embedder, rng):
 
 
 def test_batch_empty(embedder):
-    assert embedder.extract_embeddings_batch([]).size == 0
+    out = embedder.extract_embeddings_batch([])
+    # contract is [N, 512]; the empty case must keep the column shape so
+    # callers can concatenate / column-index without a special case
+    assert out.shape == (0, 512) and out.dtype == np.float32
 
 
 def test_batch_4d_array_input(embedder, rng):
