@@ -21,7 +21,17 @@ def generate_comparison_summary(all_model_results: Dict) -> pd.DataFrame:
         for gallery_name, gallery_results in model_data.get("basic_probe", {}).items():
             for agg, results in gallery_results.items():
                 df = results["threshold_results"]
-                best = df.loc[df["rank1_accuracy"].idxmax()]
+                # Rank metrics are threshold-independent (computed from the
+                # full score ranking), so the reference's bare
+                # idxmax(rank1_accuracy) always lands on the FIRST sweep row
+                # and reports F1/TAR/FAR at the arbitrary lowest threshold
+                # (temp.py:242). Tie-break by F1 so Best_Threshold is a real
+                # operating point.
+                best = df.loc[
+                    df.sort_values(
+                        ["rank1_accuracy", "f1_score"], kind="stable"
+                    ).index[-1]
+                ]
                 rows.append(
                     {
                         "Model": model_name,

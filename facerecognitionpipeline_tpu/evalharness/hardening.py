@@ -125,7 +125,12 @@ def subsampled_gallery(
     seed: int = 0,
 ) -> Dict:
     """Enroll a random subset; everyone else's probes become impostors."""
+    # negatives too: an 'all'-wrapped negative dict left wrapped would make
+    # verification's probe_negative.get('all') select ONLY the wrapped inner
+    # dict and silently drop every de-enrolled open-set impostor merged in
+    # below — the 'hard' variant would report the easy baseline numbers.
     gallery, probes = _unwrap(gallery), _unwrap(probes)
+    negatives = _unwrap(negatives)
     rng = np.random.default_rng(seed)
     names = sorted(gallery)
     keep = set(rng.choice(names, size=min(n_enrolled, len(names)), replace=False))
@@ -159,5 +164,7 @@ def cross_model_impostors(
         for name, data in _unwrap(other_model_probes).items()
     }
     if negatives:
-        impostors.update(negatives)
+        # unwrap first: an 'all' key in the merged dict would make
+        # verification discard every xmodel_* impostor via .get('all')
+        impostors.update(_unwrap(negatives))
     return _headline(gallery, probes, impostors, thresholds)

@@ -119,8 +119,15 @@ def bootstrap_confidence_interval(
     if data.size == 0:
         return (0.0, 0.0)
     rng = np.random.default_rng(seed)
-    samples = rng.choice(data, size=(n_bootstrap, data.size), replace=True)
-    means = samples.mean(axis=1)
+    # Chunk the resample rows: impostor-score lists reach P*(I-1) elements,
+    # and a single (n_bootstrap, size) float64 matrix for them is multi-GB.
+    # 50 rows at a time keeps the vectorization with bounded memory.
+    means = np.empty(n_bootstrap, dtype=np.float64)
+    row_chunk = max(1, min(n_bootstrap, int(16e6) // data.size))
+    for start in range(0, n_bootstrap, row_chunk):
+        stop = min(start + row_chunk, n_bootstrap)
+        samples = rng.choice(data, size=(stop - start, data.size), replace=True)
+        means[start:stop] = samples.mean(axis=1)
     alpha = 1 - confidence
     return (
         float(np.percentile(means, alpha / 2 * 100)),

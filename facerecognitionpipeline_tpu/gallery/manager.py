@@ -125,16 +125,18 @@ class GalleryManager:
         metadata: Optional[Dict] = None,
         overwrite: bool = False,
     ) -> bool:
-        if student_id in self.students and not overwrite:
-            self._log(
-                f"Student {student_id} already exists. Use overwrite=True to replace."
-            )
-            return False
-
         embeddings = np.atleast_2d(np.asarray(embeddings, dtype=np.float32))
         template = self._aggregate_embeddings(embeddings)
         now = datetime.now().isoformat()
         with self._sync_lock:
+            # existence check inside the lock: two concurrent adds of the
+            # same id must not both pass an unlocked check and both "succeed"
+            if student_id in self.students and not overwrite:
+                self._log(
+                    f"Student {student_id} already exists. "
+                    "Use overwrite=True to replace."
+                )
+                return False
             self.students[student_id] = StudentRecord(
                 student_id=student_id,
                 name=name,
@@ -155,24 +157,26 @@ class GalleryManager:
     def update_embeddings(
         self, student_id: str, new_embeddings: np.ndarray, mode: str = "append"
     ) -> bool:
-        if student_id not in self.students:
-            self._log(f"Student {student_id} not found")
-            return False
-        student = self.students[student_id]
+        if mode not in ("append", "replace", "merge"):
+            raise ValueError(f"Unknown mode: {mode}")
         new_embeddings = np.atleast_2d(np.asarray(new_embeddings, dtype=np.float32))
 
-        if mode == "append":
-            updated = np.vstack([student.embeddings, new_embeddings])
-        elif mode == "replace":
-            updated = new_embeddings
-        elif mode == "merge":
-            updated = self._remove_outliers(
-                np.vstack([student.embeddings, new_embeddings])
-            )
-        else:
-            raise ValueError(f"Unknown mode: {mode}")
-
+        # The whole read-modify-write sits inside the lock: two concurrent
+        # appends that both read the old rows before either wrote back would
+        # silently drop one update.
         with self._sync_lock:
+            student = self.students.get(student_id)
+            if student is None:
+                self._log(f"Student {student_id} not found")
+                return False
+            if mode == "append":
+                updated = np.vstack([student.embeddings, new_embeddings])
+            elif mode == "replace":
+                updated = new_embeddings
+            else:  # merge
+                updated = self._remove_outliers(
+                    np.vstack([student.embeddings, new_embeddings])
+                )
             student.embeddings = updated
             student.template_embedding = self._aggregate_embeddings(updated)
             student.num_samples = len(updated)
@@ -185,13 +189,13 @@ class GalleryManager:
         return True
 
     def delete_student(self, student_id: str) -> bool:
-        if student_id not in self.students:
-            self._log(f"Student {student_id} not found")
-            return False
         with self._sync_lock:
-            name = self.students.pop(student_id).name
+            record = self.students.pop(student_id, None)
+            if record is None:
+                self._log(f"Student {student_id} not found")
+                return False
             self._dirty = True
-        self._log(f"Deleted student: {name} ({student_id})")
+        self._log(f"Deleted student: {record.name} ({student_id})")
         return True
 
     # --------------------------------------------------------------- access
@@ -226,21 +230,25 @@ class GalleryManager:
     def device_arrays(self):
         """(templates [Gpad,512], valid [Gpad]) device arrays for fused engines."""
         self._sync_device()
-        return self._device._templates, self._device._valid
+        _, templates, valid, _ = self._device.snapshot()
+        return templates, valid
 
     def device_snapshot(self):
         """(templates [Gpad,512], valid [Gpad], ids list) — one CONSISTENT
         snapshot for batched dispatch. Consumers must resolve match indices
         against the returned ids list, not a later ``id_at`` call: a gallery
         mutation between dispatch and consumption would shift indices and
-        mislabel matches."""
+        mislabel matches. The three values come from ONE DeviceGallery
+        generation (a single atomic state read), so a rebuild landing
+        mid-call cannot pair new ids with old templates."""
         self._sync_device()
-        return self._device._templates, self._device._valid, list(self._device._ids)
+        ids, templates, valid, _ = self._device.snapshot()
+        return templates, valid, list(ids)
 
     def id_at(self, index: int) -> Optional[str]:
         """Gallery pad-index -> student_id (None for padded slots)."""
         self._sync_device()
-        ids = self._device._ids
+        ids = self._device.snapshot()[0]
         return ids[index] if 0 <= index < len(ids) else None
 
     def search(
@@ -285,17 +293,14 @@ class GalleryManager:
         reference's artifact schema (gallery_manager.py:207-232)."""
         save_path = path or self.gallery_path
         os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
-        with open(save_path, "wb") as f:
-            pickle.dump(self.students, f)
-
-        # splitext, not str.replace: for a path without '.pkl' the sidecar
-        # must not collide with (and overwrite) the pickle just written,
-        # and a '.pkl' in a PARENT directory name must not be rewritten.
-        json_path = os.path.splitext(save_path)[0] + ".json"
-        json_data = {
-            "num_students": len(self.students),
-            "last_saved": datetime.now().isoformat(),
-            "students": {
+        # Serialize under the lock (a concurrent add/delete mid-pickle is a
+        # RuntimeError and a torn snapshot), then write atomically: dumping
+        # straight into the destination with 'wb' truncates the only good
+        # on-disk copy BEFORE the new bytes exist — a crash, full disk, or
+        # process kill mid-dump would destroy all enrollment data.
+        with self._sync_lock:
+            payload = pickle.dumps(self.students)
+            meta = {
                 sid: {
                     "student_id": s.student_id,
                     "name": s.name,
@@ -305,10 +310,25 @@ class GalleryManager:
                     "metadata": s.metadata,
                 }
                 for sid, s in self.students.items()
-            },
+            }
+        tmp_path = save_path + ".tmp"
+        with open(tmp_path, "wb") as f:
+            f.write(payload)
+        os.replace(tmp_path, save_path)
+
+        # splitext, not str.replace: for a path without '.pkl' the sidecar
+        # must not collide with (and overwrite) the pickle just written,
+        # and a '.pkl' in a PARENT directory name must not be rewritten.
+        json_path = os.path.splitext(save_path)[0] + ".json"
+        json_data = {
+            "num_students": len(meta),
+            "last_saved": datetime.now().isoformat(),
+            "students": meta,
         }
-        with open(json_path, "w") as f:
+        tmp_json = json_path + ".tmp"
+        with open(tmp_json, "w") as f:
             json.dump(json_data, f, indent=2)
+        os.replace(tmp_json, json_path)
         self._log(f"Gallery saved to {save_path}")
         self._log(f"Metadata saved to {json_path}")
 
@@ -354,15 +374,19 @@ class GalleryManager:
         # Dump the IN-MEMORY records: copying the on-disk pickle (the
         # reference's scheme, gallery_manager.py:246-270) produces a backup
         # pair whose .pkl silently lags the sibling .json whenever the
-        # caller backed up between add_student() and save().
+        # caller backed up between add_student() and save(). Serialize under
+        # the lock so the pkl and json halves describe the same snapshot.
+        with self._sync_lock:
+            payload = pickle.dumps(self.students)
+            records = {sid: s.to_dict() for sid, s in self.students.items()}
         with open(pkl_path, "wb") as f:
-            pickle.dump(self.students, f)
+            f.write(payload)
 
         json_data = {
             "backup_date": datetime.now().isoformat(),
             "backup_name": backup_name,
-            "num_students": len(self.students),
-            "students": {sid: s.to_dict() for sid, s in self.students.items()},
+            "num_students": len(records),
+            "students": records,
         }
         with open(json_path, "w") as f:
             json.dump(json_data, f, indent=2)
@@ -438,8 +462,18 @@ class GalleryManager:
         elif self.aggregation_method == "weighted_mean":
             sims = np.dot(embeddings, embeddings.T)
             weights = np.mean(sims, axis=1)
-            weights = weights / np.sum(weights)
-            agg = np.sum(embeddings * weights[:, None], axis=0)
+            wsum = np.sum(weights)
+            if wsum <= _EPS:
+                # Degenerate set the reference leaves unhandled
+                # (gallery_manager.py:96-101): mutually dissimilar
+                # embeddings can sum their weights to ~0 (NaN/inf template
+                # that outranks every real match in device top_k) or
+                # negative (sign-FLIPPED template that anti-matches the
+                # student's own probes). Fall back to the plain mean.
+                agg = np.mean(embeddings, axis=0)
+            else:
+                weights = weights / wsum
+                agg = np.sum(embeddings * weights[:, None], axis=0)
         else:  # 'mean' and unknown methods fall back to mean, like the reference
             agg = np.mean(embeddings, axis=0)
         return agg / (np.linalg.norm(agg) + _EPS)

@@ -124,10 +124,13 @@ class DeviceGallery:
         self.dim = dim
         self.pad_multiple = pad_multiple
         self.streaming_threshold = streaming_threshold
-        self._ids: list[str] = []
-        self._templates: jax.Array | None = None
-        self._valid: jax.Array | None = None
-        self._templates_bf16: jax.Array | None = None
+        # One generation of the gallery = one immutable tuple, swapped with a
+        # single (atomic, GIL-protected) attribute assignment. Readers take
+        # ONE read of _state and use only that tuple, so a concurrent
+        # rebuild can never hand them new ids paired with old templates —
+        # the index-shift mislabeling field-by-field assignment allowed.
+        self._state: tuple[list[str], jax.Array | None, jax.Array | None,
+                           jax.Array | None] = ([], None, None, None)
 
     def rebuild(self, ids: list[str], templates: np.ndarray) -> None:
         """ids: G identity keys; templates: [G, dim] float32."""
@@ -143,18 +146,40 @@ class DeviceGallery:
         if g:
             mat[:g] = templates
             val[:g] = True
-        self._ids = list(ids)
-        self._templates = jnp.asarray(mat)
-        self._valid = jnp.asarray(val)
-        self._templates_bf16 = (
-            self._templates.astype(jnp.bfloat16)
-            if g >= self.streaming_threshold
-            else None
+        t = jnp.asarray(mat)
+        self._state = (
+            list(ids),
+            t,
+            jnp.asarray(val),
+            t.astype(jnp.bfloat16) if g >= self.streaming_threshold else None,
         )
+
+    def snapshot(self):
+        """(ids, templates, valid, templates_bf16) of ONE generation."""
+        return self._state
+
+    # Field views over the current generation (prefer snapshot() when more
+    # than one of these is needed — separate property reads can straddle a
+    # concurrent rebuild).
+    @property
+    def _ids(self) -> list[str]:
+        return self._state[0]
+
+    @property
+    def _templates(self):
+        return self._state[1]
+
+    @property
+    def _valid(self):
+        return self._state[2]
+
+    @property
+    def _templates_bf16(self):
+        return self._state[3]
 
     @property
     def size(self) -> int:
-        return len(self._ids)
+        return len(self._state[0])
 
     def search(
         self, queries: np.ndarray | jax.Array, top_k: int = 5
@@ -167,23 +192,25 @@ class DeviceGallery:
         # its 512 components as "queries" and would fabricate 512 empty
         # result rows for what the populated path treats as ONE query
         q = jnp.atleast_2d(jnp.asarray(queries, dtype=jnp.float32))
-        if not self._ids:
+        # one _state read: everything below uses this single generation
+        ids_list, templates, valid, templates_bf16 = self._state
+        if not ids_list:
             return np.zeros((q.shape[0], 0), np.float32), [
                 [] for _ in range(q.shape[0])
             ]
-        k = min(top_k, len(self._ids))
-        if self._templates_bf16 is not None:
+        k = min(top_k, len(ids_list))
+        if templates_bf16 is not None:
             from facerecognitionpipeline_tpu.ops.pallas_gallery import (
                 streaming_cosine_topk,
             )
 
             scores, idx = streaming_cosine_topk(
-                q, self._templates_bf16, self._valid, top_k=k,
+                q, templates_bf16, valid, top_k=k,
                 chunk=self.STREAM_CHUNK,
             )
         else:
-            scores, idx = cosine_topk(q, self._templates, self._valid, k)
+            scores, idx = cosine_topk(q, templates, valid, k)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
-        ids = [[self._ids[j] for j in row] for row in idx]
+        ids = [[ids_list[j] for j in row] for row in idx]
         return scores, ids

@@ -135,3 +135,16 @@ def test_hardening_accepts_category_wrapped_corpus(adaface_corpus):
 
     x = cross_model_impostors(wrapped_g, wrapped_p, wrapped_p, THRESHOLDS)
     assert 0.0 <= x["rank1_accuracy"] <= 1.0
+
+    # 'all'-wrapped NEGATIVES must behave like plain negatives: left
+    # wrapped, verification's .get('all') selected only the wrapped inner
+    # dict and silently dropped every merged open-set/xmodel impostor
+    wrapped_n = {"all": negatives}
+    sub_w = subsampled_gallery(
+        gallery, probes, wrapped_n, THRESHOLDS,
+        n_enrolled=max(1, len(gallery) - 2), seed=0,
+    )
+    assert sub_w["impostor_mean"] == plain["impostor_mean"]
+    x_plain = cross_model_impostors(gallery, probes, probes, THRESHOLDS, negatives)
+    x_w = cross_model_impostors(gallery, probes, probes, THRESHOLDS, wrapped_n)
+    assert x_w["impostor_mean"] == x_plain["impostor_mean"]

@@ -88,6 +88,41 @@ def test_dprime_and_bootstrap(rng):
     assert bootstrap_confidence_interval([]) == (0.0, 0.0)
 
 
+def test_bootstrap_chunking_bounds_memory(rng):
+    """Large score lists must not materialize an (n_bootstrap x size)
+    matrix; the chunked path must still produce a CI around the mean."""
+    data = rng.normal(0.5, 0.1, 40_000)
+    lo, hi = bootstrap_confidence_interval(data, n_bootstrap=64)
+    assert lo < data.mean() < hi and (hi - lo) < 0.01
+
+
+def test_comparison_best_threshold_is_operating_point():
+    """Rank metrics are threshold-independent, so the reference's bare
+    idxmax(rank1) always reported the FIRST sweep row (threshold 0.20,
+    FAR-maximal) as 'best'. Ties must break by F1."""
+    import pandas as pd
+
+    from facerecognitionpipeline_tpu.evalharness.comparison import (
+        generate_comparison_summary,
+    )
+
+    df = pd.DataFrame({
+        "threshold": [0.2, 0.5, 0.8],
+        "rank1_accuracy": [1.0, 1.0, 1.0],
+        "rank5_accuracy": [1.0, 1.0, 1.0],
+        "rank10_accuracy": [1.0, 1.0, 1.0],
+        "mrr": [1.0, 1.0, 1.0],
+        "f1_score": [0.5, 0.9, 0.4],
+        "tar": [1.0, 0.95, 0.5],
+        "far": [0.4, 0.02, 0.0],
+    })
+    results = {"m": {"basic_probe": {"g": {"mean": {
+        "threshold_results": df, "roc_auc": 0.99, "dprime": 3.0}}}}}
+    out = generate_comparison_summary(results)
+    assert float(out.iloc[0]["Best_Threshold"]) == 0.5
+    assert float(out.iloc[0]["F1-Score"]) == 0.9
+
+
 # ----------------------------------------------------- synthetic end-to-end
 
 

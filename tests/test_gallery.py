@@ -255,6 +255,85 @@ def test_outlier_removal_never_empties_the_set(rng):
     assert np.isfinite(template).all()
 
 
+def test_weighted_mean_degenerate_set_falls_back_to_mean(tmp_path, rng):
+    """Mutually dissimilar embeddings can sum their similarity weights to
+    ~0 or negative; the template must stay finite and unit-norm (NaN
+    templates outrank every real match in device top_k; a negative weight
+    sum sign-flips the template)."""
+    g = GalleryManager(
+        gallery_path=str(tmp_path / "g.pkl"),
+        aggregation_method="weighted_mean",
+        verbose=False,
+    )
+    # orthogonal one-hot embeddings: off-diagonal sims are 0, so the mean
+    # intra-similarity weights sum to ~1/N each row times... construct a
+    # strictly negative-sum case too via sign flips
+    e = np.zeros((4, 512), np.float32)
+    for i in range(4):
+        e[i, i] = 1.0
+    e[1] = -e[0]  # rows 0 and 1 anti-correlate -> weight sum near zero
+    assert g.add_student("X", "X", e)
+    t = g.get_student("X").template_embedding
+    assert np.all(np.isfinite(t))
+    assert abs(np.linalg.norm(t) - 1.0) < 1e-3
+
+
+def test_save_is_atomic_and_leaves_no_temp(gallery, tmp_path):
+    """save() must never truncate the existing pickle before the new bytes
+    exist (temp + os.replace), and must clean up its temp files."""
+    path = str(tmp_path / "students.pkl")
+    gallery.save(path)
+    first = os.path.getsize(path)
+    gallery.save(path)  # overwrite in place
+    assert os.path.getsize(path) == first
+    leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+    assert leftovers == []
+    with open(path, "rb") as f:
+        assert len(pickle.load(f)) == 3
+
+
+def test_update_embeddings_concurrent_appends_not_lost(tmp_path, rng):
+    """Two threads appending to the same student must both land (the
+    read-modify-write used to run outside the lock)."""
+    import threading
+
+    g = GalleryManager(gallery_path=str(tmp_path / "g.pkl"), verbose=False)
+    base = _norm_rows(rng.normal(size=(2, 512)).astype(np.float32))
+    g.add_student("S0", "Zero", base)
+
+    n_threads, per_thread = 4, 8
+    barrier = threading.Barrier(n_threads)
+
+    def append():
+        barrier.wait()
+        for _ in range(per_thread):
+            e = _norm_rows(rng.normal(size=(1, 512)).astype(np.float32))
+            g.update_embeddings("S0", e, mode="append")
+
+    threads = [threading.Thread(target=append) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert g.get_student("S0").embeddings.shape[0] == 2 + n_threads * per_thread
+
+
+def test_device_gallery_snapshot_single_generation(rng):
+    """snapshot() hands out one generation tuple; a rebuild must not be able
+    to pair new ids with old templates."""
+    dg = DeviceGallery()
+    t1 = _norm_rows(rng.normal(size=(3, 512)).astype(np.float32))
+    dg.rebuild(["a", "b", "c"], t1)
+    ids, templates, valid, _ = dg.snapshot()
+    dg.rebuild(["x"], t1[:1])
+    # the held snapshot still describes the OLD generation coherently
+    assert ids == ["a", "b", "c"]
+    assert int(np.asarray(valid).sum()) == 3
+    assert templates.shape[0] >= 3
+    # and fresh reads see the new one
+    assert dg.snapshot()[0] == ["x"]
+
+
 def test_concurrent_mutation_not_lost_by_device_sync(rng):
     """A student added while another thread runs _sync_device must appear in
     the next search (the unsynchronized dirty-flag clear lost it before)."""
