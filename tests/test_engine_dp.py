@@ -61,6 +61,7 @@ def test_dp_engine_pallas_align_under_mesh(rng):
     np.testing.assert_allclose(a["embeddings"], b["embeddings"], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_engine_quantized_embedder_under_mesh(rng):
     """The int8-quantized embedder shards over a 'data' mesh like the bf16
     one: QuantConv is plain XLA (no pallas_call), so the SPMD partitioner

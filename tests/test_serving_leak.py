@@ -57,6 +57,7 @@ def _payloads(n=4):
     return out
 
 
+@pytest.mark.slow
 def test_serving_memory_bounded(tmp_path):
     psutil = pytest.importorskip("psutil")
     detector = MTCNNDetector(
