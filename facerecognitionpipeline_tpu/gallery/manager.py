@@ -87,14 +87,19 @@ class GalleryManager:
         gallery_path: Optional[str] = None,
         aggregation_method: str = "mean",
         verbose: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — the device
+        template matrix row-shards over it (see DeviceGallery), for serving
+        with `shard_gallery=True` engines where gallery HBM capacity and
+        read bandwidth scale with the mesh instead of replicating."""
         if gallery_path is None:
             gallery_path = os.path.join(os.getcwd(), "gallery", "students.pkl")
         self.gallery_path = gallery_path
         self.aggregation_method = aggregation_method
         self.verbose = verbose
         self.students: Dict[str, StudentRecord] = {}
-        self._device = DeviceGallery()
+        self._device = DeviceGallery(mesh=mesh)
         self._dirty = True
         # Serializes the students-dict-mutation + dirty-flag transitions
         # against _sync_device's read-rebuild-clear: without it, a mutation

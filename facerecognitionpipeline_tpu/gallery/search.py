@@ -99,6 +99,87 @@ def sharded_cosine_topk(
     return fn(queries, templates, valid)
 
 
+def dp_sharded_cosine_topk(
+    mesh: Mesh,
+    queries: jax.Array,
+    templates: jax.Array,
+    valid: jax.Array,
+    top_k: int,
+    axis: str = "data",
+):
+    """Gallery sharding over the SAME axis the query batch shards over.
+
+    The serving composition: frames (and therefore queries) are data-parallel
+    over `axis`, and the template matrix — the tensor that actually stresses
+    HBM at production identity counts — is row-sharded over that axis too, so
+    gallery capacity and gallery-read bandwidth both scale with the mesh
+    instead of replicating G rows onto every chip (`sharded_cosine_topk`
+    above shards G but replicates the queries; this variant is the one the
+    fused engine uses under `shard_gallery=True`).
+
+    Per chip: all-gather the (small: Q x d) normalized queries over ICI,
+    score them against the local template shard, take a local top-k, then
+    all-gather the (tiny: Q x n_dev*k) candidate set, merge, and keep the
+    rows of this chip's own queries. Communication per step is Q*d + 2*Q*n*k
+    numbers — independent of G.
+
+    queries [B, F, d] sharded on B over `axis` (host/global view; shard_map
+    splits it), templates [G, d] rows sharded over `axis`, valid [G].
+    Returns (scores [B, F, k], indices [B, F, k]) sharded like the queries.
+    """
+    n_dev = mesh.shape[axis]
+    g = templates.shape[0]
+    if g % n_dev:
+        raise ValueError(
+            f"gallery rows ({g}) must divide the mesh '{axis}' axis "
+            f"({n_dev}); pad the template matrix (DeviceGallery does)"
+        )
+    if queries.shape[0] % n_dev:
+        raise ValueError(
+            f"query batch ({queries.shape[0]}) must divide the mesh "
+            f"'{axis}' axis ({n_dev})"
+        )
+    shard = g // n_dev
+    if top_k > shard:
+        raise ValueError(
+            f"top_k={top_k} exceeds the per-device gallery shard of {shard} "
+            f"rows; lower top_k or use fewer shards"
+        )
+
+    def local(qbfd, t, v):
+        b_loc, f, d = qbfd.shape
+        q = qbfd.reshape(b_loc * f, d)
+        q = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
+        qall = jax.lax.all_gather(q, axis, axis=0, tiled=True)  # [Q, d]
+        sims = jnp.dot(qall, t.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(v[None, :], sims, _NEG)
+        s, i = jax.lax.top_k(sims, top_k)  # local candidates [Q, k]
+        base = jax.lax.axis_index(axis) * shard
+        s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, n*k]
+        i = jax.lax.all_gather(i + base, axis, axis=1, tiled=True)
+        gs, gi = jax.lax.top_k(s, top_k)
+        gidx = jnp.take_along_axis(i, gi, axis=1)
+        # every chip computed the merge for ALL queries (trivial: Q x n*k);
+        # keep the block belonging to this chip's own frames
+        start = jax.lax.axis_index(axis) * (b_loc * f)
+        gs = jax.lax.dynamic_slice_in_dim(gs, start, b_loc * f, 0)
+        gidx = jax.lax.dynamic_slice_in_dim(gidx, start, b_loc * f, 0)
+        return (
+            gs.reshape(b_loc, f, top_k),
+            gidx.reshape(b_loc, f, top_k),
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None), P(axis)),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+        # the static VMA check can't see through top_k/axis_index
+        check_vma=False,
+    )
+    return fn(queries, templates, valid)
+
+
 class DeviceGallery:
     """HBM-resident padded template matrix with lazy rebuild.
 
@@ -120,10 +201,26 @@ class DeviceGallery:
         dim: int = 512,
         pad_multiple: int = 128,
         streaming_threshold: int = 32768,
+        mesh: Mesh | None = None,
+        shard_axis: str = "data",
     ):
+        """mesh: optional — row-shard the template matrix over `shard_axis`
+        (NamedSharding), so gallery HBM capacity and read bandwidth scale
+        with the mesh. Padding rises to a multiple of n_dev * pad_multiple
+        (each shard stays MXU-tile aligned); `search` merges per-shard
+        top-k candidates over ICI (`sharded_cosine_topk`), and the fused
+        engine consumes the same sharded arrays via `dp_sharded_cosine_topk`
+        (engine `shard_gallery=True`). The Pallas streaming path is
+        single-device-only and is not used under a mesh."""
         self.dim = dim
         self.pad_multiple = pad_multiple
         self.streaming_threshold = streaming_threshold
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        if mesh is not None and shard_axis not in mesh.shape:
+            raise ValueError(
+                f"mesh has no '{shard_axis}' axis (axes: {dict(mesh.shape)})"
+            )
         # One generation of the gallery = one immutable tuple, swapped with a
         # single (atomic, GIL-protected) attribute assignment. Readers take
         # ONE read of _state and use only that tuple, so a concurrent
@@ -135,23 +232,34 @@ class DeviceGallery:
     def rebuild(self, ids: list[str], templates: np.ndarray) -> None:
         """ids: G identity keys; templates: [G, dim] float32."""
         g = len(ids)
-        multiple = (
-            self.STREAM_CHUNK
-            if g >= self.streaming_threshold
-            else self.pad_multiple
-        )
+        streaming = g >= self.streaming_threshold and self.mesh is None
+        multiple = self.STREAM_CHUNK if streaming else self.pad_multiple
+        if self.mesh is not None:
+            # each of the n_dev row shards stays pad_multiple-aligned
+            multiple *= self.mesh.shape[self.shard_axis]
         gp = max(_pad_to(g, multiple), multiple)
         mat = np.zeros((gp, self.dim), dtype=np.float32)
         val = np.zeros((gp,), dtype=bool)
         if g:
             mat[:g] = templates
             val[:g] = True
-        t = jnp.asarray(mat)
+        if self.mesh is None:
+            t = jnp.asarray(mat)
+            v = jnp.asarray(val)
+        else:
+            from jax.sharding import NamedSharding
+
+            t = jax.device_put(
+                mat, NamedSharding(self.mesh, P(self.shard_axis, None))
+            )
+            v = jax.device_put(
+                val, NamedSharding(self.mesh, P(self.shard_axis))
+            )
         self._state = (
             list(ids),
             t,
-            jnp.asarray(val),
-            t.astype(jnp.bfloat16) if g >= self.streaming_threshold else None,
+            v,
+            t.astype(jnp.bfloat16) if streaming else None,
         )
 
     def snapshot(self):
@@ -207,6 +315,17 @@ class DeviceGallery:
             scores, idx = streaming_cosine_topk(
                 q, templates_bf16, valid, top_k=k,
                 chunk=self.STREAM_CHUNK,
+            )
+        elif (
+            self.mesh is not None
+            and k <= templates.shape[0] // self.mesh.shape[self.shard_axis]
+        ):
+            # per-shard top-k + tiny ICI candidate merge; never materializes
+            # a [Q, G] similarity row across shards on one chip. (k larger
+            # than a shard — only possible at toy sizes — falls through to
+            # the dense path, which GSPMD partitions correctly.)
+            scores, idx = sharded_cosine_topk(
+                self.mesh, q, templates, valid, k, axis=self.shard_axis
             )
         else:
             scores, idx = cosine_topk(q, templates, valid, k)

@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from facerecognitionpipeline_tpu.gallery.search import cosine_topk
+from facerecognitionpipeline_tpu.gallery.search import (
+    cosine_topk,
+    dp_sharded_cosine_topk,
+)
 from facerecognitionpipeline_tpu.ops.image import normalize_face_batch
 from facerecognitionpipeline_tpu.ops.quality import QualityConfig, quality_check
 from facerecognitionpipeline_tpu.ops.warp import (
@@ -48,6 +51,7 @@ class RecognitionEngine:
         align_chunk: int = 8,
         input_format: str = "rgb",
         embed_budget: Optional[int] = None,
+        shard_gallery: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
         batch shards across it (multi-chip serving: weights/gallery
@@ -87,6 +91,19 @@ class RecognitionEngine:
         server treats them as detected-but-not-recognized this frame and
         the track retries). Per-frame (not cross-batch) compaction keeps
         the step shardable over a 'data' mesh axis.
+
+        shard_gallery: row-shard the gallery template matrix over the mesh
+        'data' axis inside the step (requires `mesh`). Weights stay
+        replicated and frames stay data-parallel, but the gallery — the
+        tensor that actually stresses HBM at production identity counts
+        (1M ids x 512 f32 = 2 GB replicated) — splits across chips, so
+        gallery capacity AND gallery-read bandwidth scale with the mesh.
+        Matching becomes: all-gather the (small) normalized queries over
+        ICI, score against the local shard, merge per-shard top-k
+        candidates (see gallery.search.dp_sharded_cosine_topk). Pass
+        templates already sharded (DeviceGallery(mesh=...) /
+        GalleryManager(mesh=...) place them) to avoid a per-dispatch
+        reshard.
 
         Budget fairness: selection is det-score-ranked, which on a static
         scene would pick the SAME faces every step and starve the rest
@@ -129,6 +146,12 @@ class RecognitionEngine:
             if max_faces is not None and embed_budget == max_faces:
                 embed_budget = None  # full budget == the dense path
         self.embed_budget = embed_budget
+        if shard_gallery and (mesh is None or "data" not in mesh.shape):
+            raise ValueError(
+                "shard_gallery=True needs a mesh with a 'data' axis "
+                "(the gallery shards over the same axis the frames do)"
+            )
+        self.shard_gallery = shard_gallery
         if input_format not in ("rgb", "i420"):
             raise ValueError(f"unknown input_format {input_format!r}")
         if input_format == "i420":
@@ -181,6 +204,20 @@ class RecognitionEngine:
                 img, lmk, self._template, self.align_size
             )
         return jax.vmap(per_frame)(frames_f32, landmarks)
+
+    def _match(self, feats, templates, valid, k):
+        """[B, X, d] features -> (scores [B, X, k], idx [B, X, k]).
+
+        Dense: one replicated-gallery matmul + top-k (GSPMD splits it over
+        the query rows under a mesh). shard_gallery: per-shard scoring with
+        an ICI candidate merge — G never materializes on one chip."""
+        if self.shard_gallery:
+            return dp_sharded_cosine_topk(
+                self.mesh, feats, templates, valid, k, axis="data"
+            )
+        b, x, d = feats.shape
+        scores, idx = cosine_topk(feats.reshape(b * x, d), templates, valid, k)
+        return scores.reshape(b, x, k), idx.reshape(b, x, k)
 
     def _per_frame_quality(self, det, aligned):
         return quality_check(
@@ -253,11 +290,9 @@ class RecognitionEngine:
             feats = feats.reshape(b, f, -1)
             norms = norms.reshape(b, f)
             embedded = jnp.ones((b, f), dtype=bool)
-            scores, idx = cosine_topk(
-                feats.reshape(b * f, -1), templates, templates_valid, gallery_k
+            scores, idx = self._match(
+                feats, templates, templates_valid, gallery_k
             )
-            scores = scores.reshape(b, f, gallery_k)
-            idx = idx.reshape(b, f, gallery_k)
         else:
             # Compacted path: per frame, gather the K best eligible slots
             # (valid AND quality-ok, ranked by det score), embed/match only
@@ -302,16 +337,11 @@ class RecognitionEngine:
             d = feats_k.shape[-1]
             feats_k = feats_k.reshape(b, kb, d) * sel_ok[:, :, None]
             norms_k = norms_k.reshape(b, kb) * sel_ok
-            sc_k, ix_k = cosine_topk(
-                feats_k.reshape(b * kb, d), templates, templates_valid,
-                gallery_k,
+            sc_k, ix_k = self._match(
+                feats_k, templates, templates_valid, gallery_k
             )
-            sc_k = jnp.where(
-                sel_ok[:, :, None], sc_k.reshape(b, kb, gallery_k), -1.0
-            )
-            ix_k = jnp.where(
-                sel_ok[:, :, None], ix_k.reshape(b, kb, gallery_k), 0
-            )
+            sc_k = jnp.where(sel_ok[:, :, None], sc_k, -1.0)
+            ix_k = jnp.where(sel_ok[:, :, None], ix_k, 0)
 
             # Scatter the compacted results into the [B, F] slot layout
             # (top_k indices are distinct within a frame, so .at[].set is

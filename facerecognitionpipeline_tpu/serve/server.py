@@ -130,10 +130,19 @@ class FaceRecognitionServer:
         embed_budget: Optional[int] = None,
         quantize: Optional[str] = None,
         quantize_calib: Optional[str] = None,
+        shard_gallery: bool = False,
     ):
         """mesh_data: shard the fused recognition step data-parallel over
-        this many devices (jax.sharding Mesh 'data' axis; weights/gallery
-        replicate, the frame batch splits). batch_max must be a multiple.
+        this many devices (jax.sharding Mesh 'data' axis; weights replicate,
+        the frame batch splits — and the gallery replicates unless
+        shard_gallery). batch_max must be a multiple.
+        shard_gallery: row-shard the gallery template matrix over the same
+        'data' mesh axis (requires mesh_data >= 2): gallery HBM capacity and
+        read bandwidth scale with the mesh instead of replicating — the
+        template matrix is the tensor that grows with deployment size (1M
+        ids x 512 f32 = 2 GB replicated). Matching inside the fused step
+        becomes an ICI query all-gather + per-shard top-k candidate merge
+        (gallery.search.dp_sharded_cosine_topk).
         batch_buckets: compiled batch shapes (default (1, batch_max) — a
         lone client pays a B=1 step instead of batch_max x padded compute).
         tracker_mode: 'server' = retry-cooldown gating (reference server
@@ -171,7 +180,34 @@ class FaceRecognitionServer:
             raise ValueError(f"unknown tracker_mode {tracker_mode!r}")
         self.tracker_mode = tracker_mode
 
-        self.gallery = gallery or GalleryManager(gallery_path=gallery_path)
+        # Mesh before gallery: a shard_gallery deployment needs the device
+        # template matrix placed row-sharded at build time, or every
+        # dispatch pays a GSPMD reshard of the largest tensor in serving.
+        mesh = getattr(engine, "mesh", None)
+        if engine is None and mesh_data and mesh_data > 1:
+            from facerecognitionpipeline_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=mesh_data)
+            if batch_max % mesh_data:
+                raise ValueError(
+                    f"batch_max={batch_max} must be a multiple of "
+                    f"mesh_data={mesh_data}"
+                )
+        wants_shard = (
+            shard_gallery
+            if engine is None
+            else getattr(engine, "shard_gallery", False)
+        )
+        if wants_shard and (mesh is None or "data" not in getattr(
+            mesh, "shape", {}
+        )):
+            raise ValueError(
+                "shard_gallery requires a data-parallel mesh "
+                "(--mesh_data >= 2)"
+            )
+        self.gallery = gallery or GalleryManager(
+            gallery_path=gallery_path, mesh=mesh if wants_shard else None
+        )
         # (mtime_ns, size) of the last pickle loaded via /reload_gallery —
         # None means "never reloaded", so the first reload always loads
         self._gallery_file_sig = None
@@ -200,16 +236,6 @@ class FaceRecognitionServer:
                 model_path=model_path, dtype=jnp.bfloat16,
                 quantize=quantize, calib_faces=calib_faces,
             )
-            mesh = None
-            if mesh_data and mesh_data > 1:
-                from facerecognitionpipeline_tpu.parallel.mesh import make_mesh
-
-                mesh = make_mesh(data=mesh_data)
-                if batch_max % mesh_data:
-                    raise ValueError(
-                        f"batch_max={batch_max} must be a multiple of "
-                        f"mesh_data={mesh_data}"
-                    )
             engine = RecognitionEngine(
                 detector,
                 embedder,
@@ -221,6 +247,7 @@ class FaceRecognitionServer:
                 mesh=mesh,
                 input_format=transport,
                 embed_budget=embed_budget,
+                shard_gallery=shard_gallery,
             )
         self.engine = engine
         engine_format = getattr(engine, "input_format", "rgb")
@@ -1104,6 +1131,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_data", type=int, default=None,
                    help="Shard the fused step data-parallel over this many "
                         "devices (batch_max must be a multiple)")
+    p.add_argument("--shard_gallery", action="store_true",
+                   help="Row-shard the gallery template matrix over the "
+                        "--mesh_data axis: gallery HBM capacity and read "
+                        "bandwidth scale with the mesh (million-identity "
+                        "deployments) instead of replicating per chip")
     p.add_argument("--transport", type=str, default="rgb",
                    choices=["rgb", "i420"],
                    help="Host->device frame encoding: i420 halves upload "
@@ -1150,6 +1182,7 @@ def main(argv=None) -> int:
         embed_budget=args.embed_budget,
         quantize=args.quantize,
         quantize_calib=args.quantize_calib,
+        shard_gallery=args.shard_gallery,
     )
     httpd = serve(server, args.host, args.port)
     try:
