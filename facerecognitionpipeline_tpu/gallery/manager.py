@@ -245,10 +245,20 @@ class GalleryManager:
         mutation between dispatch and consumption would shift indices and
         mislabel matches. The three values come from ONE DeviceGallery
         generation (a single atomic state read), so a rebuild landing
-        mid-call cannot pair new ids with old templates."""
+        mid-call cannot pair new ids with old templates.
+
+        At streaming scale (>= DeviceGallery.streaming_threshold ids) the
+        returned templates are the bf16 copy: the fused engine's streaming
+        kernel then reads half the gallery bytes per step, and the dense
+        matmul accepts bf16 rows too (accumulation stays f32). Crossing the
+        threshold changes the compiled dtype — a one-time recompile."""
         self._sync_device()
-        ids, templates, valid, _ = self._device.snapshot()
-        return templates, valid, list(ids)
+        ids, templates, valid, templates_bf16 = self._device.snapshot()
+        return (
+            templates_bf16 if templates_bf16 is not None else templates,
+            valid,
+            list(ids),
+        )
 
     def id_at(self, index: int) -> Optional[str]:
         """Gallery pad-index -> student_id (None for padded slots)."""

@@ -45,6 +45,25 @@ def cosine_topk(
     return jax.lax.top_k(sims, top_k)
 
 
+def _local_topk(q, t, v, top_k: int, streaming: bool, chunk: int):
+    """One device's scoring of normalized-ish queries vs its template rows.
+
+    streaming=True runs the fused Pallas streaming kernel (bf16 template
+    chunks through VMEM, running top-k in scratch — HBM traffic is ONE read
+    of the shard, no [Q, G] similarity matrix anywhere); False is the plain
+    XLA matmul + lax.top_k."""
+    if streaming:
+        from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+            streaming_cosine_topk,
+        )
+
+        return streaming_cosine_topk(q, t, v, top_k=top_k, chunk=chunk)
+    qn = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
+    sims = jnp.dot(qn, t.T, preferred_element_type=jnp.float32)
+    sims = jnp.where(v[None, :], sims, _NEG)
+    return jax.lax.top_k(sims, top_k)
+
+
 def sharded_cosine_topk(
     mesh: Mesh,
     queries: jax.Array,
@@ -52,12 +71,17 @@ def sharded_cosine_topk(
     valid: jax.Array,
     top_k: int,
     axis: str = "gallery",
+    streaming: bool = False,
+    chunk: int = 4096,
 ):
     """Gallery-sharded search: templates split on the G axis across `mesh`.
 
     Each device computes local top-k over its shard, then the [Q, D*k]
     candidate set (tiny) is all-gathered and reduced to the global top-k.
     Communication: D*k scores+indices per query instead of G similarities.
+    streaming=True scores each shard with the Pallas streaming kernel
+    (pallas_call runs per shard inside shard_map — the partitioner cannot
+    split it, but it doesn't need to).
     """
     n_dev = mesh.shape[axis]
     g = templates.shape[0]
@@ -71,16 +95,18 @@ def sharded_cosine_topk(
             f"({g} padded rows over {n_dev} devices); lower top_k or use "
             f"fewer shards"
         )
+    if streaming and shard % chunk:
+        raise ValueError(
+            f"streaming shards need rows % chunk == 0, got {shard} rows "
+            f"per device with chunk {chunk}"
+        )
     # NOTE: like cosine_topk, results may include PADDED slots (score
     # _NEG=-1e9) when top_k exceeds the number of VALID rows — callers
     # resolving indices against an id list must bounds-check (the engine
     # resolves via gallery_ids snapshots, serve/server.py, which does).
 
     def local(q, t, v):
-        qn = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
-        sims = jnp.dot(qn, t.T, preferred_element_type=jnp.float32)
-        sims = jnp.where(v[None, :], sims, _NEG)
-        s, i = jax.lax.top_k(sims, top_k)
+        s, i = _local_topk(q, t, v, top_k, streaming, chunk)
         base = jax.lax.axis_index(axis) * shard
         s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, D*k]
         i = jax.lax.all_gather(i + base, axis, axis=1, tiled=True)
@@ -106,6 +132,8 @@ def dp_sharded_cosine_topk(
     valid: jax.Array,
     top_k: int,
     axis: str = "data",
+    streaming: bool = False,
+    chunk: int = 4096,
 ):
     """Gallery sharding over the SAME axis the query batch shards over.
 
@@ -145,15 +173,19 @@ def dp_sharded_cosine_topk(
             f"top_k={top_k} exceeds the per-device gallery shard of {shard} "
             f"rows; lower top_k or use fewer shards"
         )
+    if streaming and shard % chunk:
+        raise ValueError(
+            f"streaming shards need rows % chunk == 0, got {shard} rows "
+            f"per device with chunk {chunk}"
+        )
 
     def local(qbfd, t, v):
         b_loc, f, d = qbfd.shape
         q = qbfd.reshape(b_loc * f, d)
-        q = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
         qall = jax.lax.all_gather(q, axis, axis=0, tiled=True)  # [Q, d]
-        sims = jnp.dot(qall, t.T, preferred_element_type=jnp.float32)
-        sims = jnp.where(v[None, :], sims, _NEG)
-        s, i = jax.lax.top_k(sims, top_k)  # local candidates [Q, k]
+        s, i = _local_topk(
+            qall, t, v, top_k, streaming, chunk
+        )  # local candidates [Q, k]
         base = jax.lax.axis_index(axis) * shard
         s = jax.lax.all_gather(s, axis, axis=1, tiled=True)  # [Q, n*k]
         i = jax.lax.all_gather(i + base, axis, axis=1, tiled=True)
@@ -232,10 +264,11 @@ class DeviceGallery:
     def rebuild(self, ids: list[str], templates: np.ndarray) -> None:
         """ids: G identity keys; templates: [G, dim] float32."""
         g = len(ids)
-        streaming = g >= self.streaming_threshold and self.mesh is None
+        streaming = g >= self.streaming_threshold
+        # streaming needs rows % chunk == 0 (per shard under a mesh)
         multiple = self.STREAM_CHUNK if streaming else self.pad_multiple
         if self.mesh is not None:
-            # each of the n_dev row shards stays pad_multiple-aligned
+            # each of the n_dev row shards stays chunk/tile aligned
             multiple *= self.mesh.shape[self.shard_axis]
         gp = max(_pad_to(g, multiple), multiple)
         mat = np.zeros((gp, self.dim), dtype=np.float32)
@@ -255,6 +288,8 @@ class DeviceGallery:
             v = jax.device_put(
                 val, NamedSharding(self.mesh, P(self.shard_axis))
             )
+        # the bf16 copy inherits t's sharding (elementwise cast under jit
+        # preserves placement): halves gallery HBM reads at streaming scale
         self._state = (
             list(ids),
             t,
@@ -307,7 +342,24 @@ class DeviceGallery:
                 [] for _ in range(q.shape[0])
             ]
         k = min(top_k, len(ids_list))
-        if templates_bf16 is not None:
+        if (
+            self.mesh is not None
+            and k <= templates.shape[0] // self.mesh.shape[self.shard_axis]
+        ):
+            # per-shard top-k + tiny ICI candidate merge; never materializes
+            # a [Q, G] similarity row across shards on one chip. At
+            # streaming scale each shard runs the Pallas streaming kernel
+            # on its bf16 rows inside the shard_map. (k larger than a shard
+            # — only possible at toy sizes — falls through to the dense
+            # path, which GSPMD partitions correctly.)
+            streaming = templates_bf16 is not None
+            scores, idx = sharded_cosine_topk(
+                self.mesh, q,
+                templates_bf16 if streaming else templates,
+                valid, k, axis=self.shard_axis,
+                streaming=streaming, chunk=self.STREAM_CHUNK,
+            )
+        elif templates_bf16 is not None:
             from facerecognitionpipeline_tpu.ops.pallas_gallery import (
                 streaming_cosine_topk,
             )
@@ -315,17 +367,6 @@ class DeviceGallery:
             scores, idx = streaming_cosine_topk(
                 q, templates_bf16, valid, top_k=k,
                 chunk=self.STREAM_CHUNK,
-            )
-        elif (
-            self.mesh is not None
-            and k <= templates.shape[0] // self.mesh.shape[self.shard_axis]
-        ):
-            # per-shard top-k + tiny ICI candidate merge; never materializes
-            # a [Q, G] similarity row across shards on one chip. (k larger
-            # than a shard — only possible at toy sizes — falls through to
-            # the dense path, which GSPMD partitions correctly.)
-            scores, idx = sharded_cosine_topk(
-                self.mesh, q, templates, valid, k, axis=self.shard_axis
             )
         else:
             scores, idx = cosine_topk(q, templates, valid, k)

@@ -52,6 +52,9 @@ class RecognitionEngine:
         input_format: str = "rgb",
         embed_budget: Optional[int] = None,
         shard_gallery: bool = False,
+        gallery_impl: str = "auto",
+        gallery_chunk: int = 4096,
+        gallery_streaming_threshold: int = 32768,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the frame
         batch shards across it (multi-chip serving: weights/gallery
@@ -105,6 +108,19 @@ class RecognitionEngine:
         GalleryManager(mesh=...) place them) to avoid a per-dispatch
         reshard.
 
+        gallery_impl: 'dense' (one matmul + lax.top_k — XLA materializes
+        the [Q, G] similarity block), 'streaming' (the fused Pallas kernel
+        of ops/pallas_gallery: bf16-friendly template chunks double-buffered
+        through VMEM with a running top-k in scratch — HBM traffic is ONE
+        read of the gallery, no [Q, G] intermediate), or 'auto' (default):
+        streaming on a TPU backend once the padded gallery reaches
+        `gallery_streaming_threshold` rows (and divides `gallery_chunk`),
+        dense otherwise. Composes with both mesh modes: under plain DP the
+        kernel runs per shard on the replicated gallery via shard_map;
+        under shard_gallery each shard streams its own rows inside the
+        candidate-merge path. Serve bf16 templates at scale
+        (GalleryManager.device_snapshot does) to halve the gallery reads.
+
         Budget fairness: selection is det-score-ranked, which on a static
         scene would pick the SAME faces every step and starve the rest
         forever. The step therefore takes a `rotation` scalar (a traced
@@ -152,6 +168,15 @@ class RecognitionEngine:
                 "(the gallery shards over the same axis the frames do)"
             )
         self.shard_gallery = shard_gallery
+        if gallery_impl not in ("auto", "dense", "streaming"):
+            raise ValueError(f"unknown gallery_impl {gallery_impl!r}")
+        self.gallery_impl = gallery_impl
+        self.gallery_chunk = gallery_chunk
+        self.gallery_streaming_threshold = gallery_streaming_threshold
+        # 'auto' only streams on TPU: Mosaic compiles for TPU, and the
+        # interpreter fallback (used by explicit 'streaming' in CPU tests)
+        # is far slower than the XLA matmul.
+        self._stream_on_auto = jax.default_backend() == "tpu"
         if input_format not in ("rgb", "i420"):
             raise ValueError(f"unknown input_format {input_format!r}")
         if input_format == "i420":
@@ -210,12 +235,63 @@ class RecognitionEngine:
 
         Dense: one replicated-gallery matmul + top-k (GSPMD splits it over
         the query rows under a mesh). shard_gallery: per-shard scoring with
-        an ICI candidate merge — G never materializes on one chip."""
+        an ICI candidate merge — G never materializes on one chip. At
+        streaming scale (gallery_impl) the per-device scoring is the fused
+        Pallas streaming kernel instead of the dense matmul."""
+        g = templates.shape[0]
+        if self.gallery_impl == "streaming":
+            streaming = True
+        elif self.gallery_impl == "dense":
+            streaming = False
+        else:
+            # bf16-only on auto: an f32 chunk pair (2 x 4096 x 512 x 4 B)
+            # hits the 16 MB scoped-VMEM ceiling; the provider serves bf16
+            # templates at streaming scale (GalleryManager.device_snapshot)
+            streaming = (
+                self._stream_on_auto
+                and templates.dtype == jnp.bfloat16
+                and g >= self.gallery_streaming_threshold
+                and g % self.gallery_chunk == 0
+            )
+        if streaming and not self.shard_gallery and g % self.gallery_chunk:
+            raise ValueError(
+                f"gallery_impl='streaming' needs padded rows % gallery_chunk "
+                f"== 0, got {g} rows with chunk {self.gallery_chunk}"
+            )
         if self.shard_gallery:
             return dp_sharded_cosine_topk(
-                self.mesh, feats, templates, valid, k, axis="data"
+                self.mesh, feats, templates, valid, k, axis="data",
+                streaming=streaming, chunk=self.gallery_chunk,
             )
         b, x, d = feats.shape
+        if streaming:
+            from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+                streaming_cosine_topk,
+            )
+
+            def stream(q3, t, v):
+                s, i = streaming_cosine_topk(
+                    q3.reshape(-1, d), t, v, top_k=k, chunk=self.gallery_chunk
+                )
+                return (
+                    s.reshape(q3.shape[0], x, k),
+                    i.reshape(q3.shape[0], x, k),
+                )
+
+            if self.mesh is not None:
+                # a bare pallas_call can't be split by the SPMD partitioner
+                # (same constraint as the align kernel): run it per shard —
+                # queries data-parallel, the gallery replicated per chip
+                from jax.sharding import PartitionSpec as P
+
+                return jax.shard_map(
+                    stream,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P(), P()),
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False,
+                )(feats, templates, valid)
+            return stream(feats, templates, valid)
         scores, idx = cosine_topk(feats.reshape(b * x, d), templates, valid, k)
         return scores.reshape(b, x, k), idx.reshape(b, x, k)
 

@@ -98,6 +98,92 @@ def test_gallery_manager_mesh_passthrough(tmp_path, rng):
     assert ids == ["S1"]
 
 
+def test_engine_streaming_gallery_matches_dense(rng):
+    """gallery_impl='streaming' (fused Pallas streaming kernel in-step)
+    reproduces the dense-matmul match on all three topologies: single
+    device, DP mesh (kernel per shard via shard_map, gallery replicated),
+    and shard_gallery (kernel per gallery shard inside the candidate
+    merge)."""
+    detector = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
+    embedder = FaceEmbedder(architecture="ir_micro")
+    mesh = _mesh(4)
+
+    dg = DeviceGallery()
+    t = rng.normal(size=(100, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    dg.rebuild([f"id{i}" for i in range(100)], t)  # pads to 128 rows
+    frames = rng.integers(0, 256, size=(4, 160, 160, 3), dtype=np.uint8)
+
+    dense = RecognitionEngine(detector, embedder, top_k=2)
+    a = jax.device_get(
+        dense.process_frames(frames, dg._templates, dg._valid, 2)
+    )
+
+    stream = RecognitionEngine(
+        detector, embedder, top_k=2, gallery_impl="streaming",
+        gallery_chunk=64,
+    )
+    b = jax.device_get(
+        stream.process_frames(frames, dg._templates, dg._valid, 2)
+    )
+    np.testing.assert_allclose(a["match_scores"], b["match_scores"], atol=1e-5)
+    np.testing.assert_array_equal(a["match_idx"], b["match_idx"])
+
+    stream_dp = RecognitionEngine(
+        detector, embedder, top_k=2, mesh=mesh, gallery_impl="streaming",
+        gallery_chunk=64,
+    )
+    c = jax.device_get(
+        stream_dp.process_frames(frames, dg._templates, dg._valid, 2)
+    )
+    # vs the SINGLE-DEVICE dense engine: mesh execution itself shifts the
+    # embeddings by ~1e-4 (reduce-order), which the unit-norm dot passes
+    # through — the match-impl equivalence is pinned exactly by a-vs-b above
+    np.testing.assert_allclose(a["match_scores"], c["match_scores"], atol=1e-3)
+
+    dg_sh = DeviceGallery(mesh=mesh)
+    dg_sh.rebuild([f"id{i}" for i in range(100)], t)  # pads to 512 rows
+    dg_ref = DeviceGallery(pad_multiple=dg_sh._templates.shape[0])
+    dg_ref.rebuild([f"id{i}" for i in range(100)], t)
+    a2 = jax.device_get(
+        dense.process_frames(frames, dg_ref._templates, dg_ref._valid, 2)
+    )
+    stream_sharded = RecognitionEngine(
+        detector, embedder, top_k=2, mesh=mesh, shard_gallery=True,
+        gallery_impl="streaming", gallery_chunk=64,
+    )
+    d = jax.device_get(
+        stream_sharded.process_frames(frames, dg_sh._templates, dg_sh._valid, 2)
+    )
+    np.testing.assert_allclose(
+        a2["match_scores"], d["match_scores"], atol=1e-3
+    )
+
+
+def test_device_gallery_sharded_streaming_search(rng):
+    """Mesh + streaming-scale DeviceGallery: per-shard Pallas streaming
+    inside the candidate merge matches the plain dense gallery."""
+    mesh = _mesh(4)
+    g = 100
+    t = rng.normal(size=(g, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    ids = [f"id{i}" for i in range(g)]
+
+    plain = DeviceGallery()
+    plain.rebuild(ids, t)
+    sharded = DeviceGallery(mesh=mesh, streaming_threshold=8)
+    sharded.STREAM_CHUNK = 32  # instance override keeps the test tiny
+    sharded.rebuild(ids, t)
+    assert sharded._templates_bf16 is not None  # streaming generation
+
+    q = rng.normal(size=(5, 512)).astype(np.float32)
+    s_a, ids_a = plain.search(q, top_k=4)
+    s_b, ids_b = sharded.search(q, top_k=4)
+    # bf16 template rounding shifts cosines by ~1e-3
+    np.testing.assert_allclose(s_a, s_b, atol=5e-3)
+    assert ids_a == ids_b
+
+
 def test_server_requires_mesh_for_shard_gallery(tmp_path):
     from facerecognitionpipeline_tpu.serve.server import FaceRecognitionServer
 
