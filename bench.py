@@ -8,6 +8,9 @@ every slot, so this is the honest device-throughput number.
 
 Baseline: the reference's serial recognition path averages 74.85 ms/face
 (AdaFace ir_101 on a CUDA GPU; BASELINE.md), i.e. ~13.36 faces/sec.
+Weights: real checkpoints load when present in pretrained/; otherwise the
+embedder runs deliberately random-initialized (random_ok=True) — step timing
+is independent of weight values, so the throughput number is unaffected.
 Prints exactly one JSON line.
 """
 
@@ -71,7 +74,9 @@ def main() -> None:
         det_size=(640, 640), max_faces=MAX_FACES, min_face_size=40,
         dtype=jnp.bfloat16,
     )
-    embedder = FaceEmbedder(architecture="ir_101", dtype=jnp.bfloat16)
+    embedder = FaceEmbedder(
+        architecture="ir_101", dtype=jnp.bfloat16, random_ok=True
+    )
     engine = RecognitionEngine(detector, embedder, top_k=3)
 
     gallery = DeviceGallery()
@@ -196,7 +201,8 @@ def main() -> None:
     # (--quantize int8), so reported as extra keys beside the bf16 headline.
     def _int8_engine():
         emb_q = FaceEmbedder(
-            architecture="ir_101", dtype=jnp.bfloat16, quantize="int8"
+            architecture="ir_101", dtype=jnp.bfloat16, quantize="int8",
+            random_ok=True,
         )
         return RecognitionEngine(detector, emb_q, top_k=3), emb_q.variables
 

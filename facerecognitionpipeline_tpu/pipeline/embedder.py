@@ -68,6 +68,7 @@ class FaceEmbedder:
         fold_bn: bool = True,
         quantize: Optional[str] = None,
         calib_faces: Optional[np.ndarray] = None,
+        random_ok: bool = False,
     ):
         """quantize: None (default) or 'int8' — post-training quantization of
         the res convs (~99% of backbone FLOPs) onto the MXU int8 fast path
@@ -75,7 +76,13 @@ class FaceEmbedder:
         fold_bn=True. calib_faces optionally supplies the activation-scale
         calibration batch as raw RGB uint8 [N, 112, 112, 3] (use a sample of
         REAL aligned faces when serving imported real-world weights); by
-        default a deterministic synthetic render set is used."""
+        default a deterministic synthetic render set is used.
+
+        random_ok: declare that random initialization is acceptable when no
+        weights are found (throughput benchmarks, shape/compile checks —
+        timing is independent of weight values). Real weights still load
+        when present; this only silences the missing-weights warning, which
+        exists to catch *accidental* production use without a checkpoint."""
         if model_type not in ("adaface", "arcface"):
             raise ValueError(
                 f"Unknown model_type: {model_type}. Must be 'adaface' or 'arcface'"
@@ -118,11 +125,17 @@ class FaceEmbedder:
             else:
                 if model_path is not None:
                     raise FileNotFoundError(f"Model weights not found at: {model_path}")
-                print(
-                    f"[FaceEmbedder] No pretrained weights at {path}; "
-                    f"using random init (embeddings will not be identity-discriminative).",
-                    file=sys.stderr,
-                )
+                if not random_ok:
+                    where = (
+                        f"at {path}" if path is not None
+                        else f"configured for architecture {architecture!r}"
+                    )
+                    print(
+                        f"[FaceEmbedder] No pretrained weights {where}; "
+                        f"using random init (embeddings will not be "
+                        f"identity-discriminative).",
+                        file=sys.stderr,
+                    )
                 self.variables = self.model.init(
                     jax.random.PRNGKey(init_seed),
                     jnp.zeros((1, 112, 112, 3), jnp.float32),
