@@ -73,3 +73,14 @@ def test_embedding_distinguishes_inputs(embedder, rng):
 def test_missing_weights_raises():
     with pytest.raises(FileNotFoundError):
         FaceEmbedder(architecture="ir_18", model_path="/nonexistent/w.ckpt")
+
+
+def test_random_ok_silences_missing_weights_warning(capfd):
+    """random_ok=True is the deliberate-random-init contract (bench.py,
+    __graft_entry__.py): no stderr warning; the default still warns so
+    accidental production use without a checkpoint stays loud."""
+    FaceEmbedder(architecture="ir_micro", random_ok=True)
+    assert "[FaceEmbedder]" not in capfd.readouterr().err
+    FaceEmbedder(architecture="ir_micro")
+    err = capfd.readouterr().err
+    assert "No pretrained weights" in err and "ir_micro" in err
