@@ -166,6 +166,8 @@ class MTCNNDetector:
         stage2_keep: int = R_KEEP,
         pack_pyramid: bool = False,
         crop_impl: str = "auto",
+        quantize: Optional[str] = None,
+        calib_frames: Optional[np.ndarray] = None,
     ):
         """rnet_crop_downscale: R-net's 24x24 candidate crops resample from
         the frame pre-downsampled by this factor (one separable-matmul
@@ -303,6 +305,45 @@ class MTCNNDetector:
         self.pack_pyramid = bool(pack_pyramid)
         if self.pack_pyramid:
             self._canvas_hw = _pack_pyramid(h, w, self.scales)
+
+        # Post-training int8 quantization of the R/O-net stages (quantize=
+        # 'int8'): per-output-channel int8 weights + static calibrated
+        # activation scales on conv1..N/fc1, same scheme as the embedder's
+        # models/quantize.py. P-net stays float: its 10/16/32-channel convs
+        # are MXU-padding-bound (int8 can't help) and its score map ranks
+        # every proposal. Calibration observes R/O-net intermediates on
+        # `calib_frames` (raw RGB uint8 [N, H, W, 3] at det_size; default =
+        # synthetic stress scenes — for imported real-world weights pass
+        # real frames, the transfer caveat of models/quantize.py applies).
+        self.quantized = False
+        if quantize not in (None, "int8"):
+            raise ValueError(f"Unknown quantize mode: {quantize!r} (use 'int8')")
+        if quantize == "int8":
+            if not self._variables_quantized():
+                from facerecognitionpipeline_tpu.models.quantize import (
+                    default_calibration_frames,
+                    quantize_detector_variables,
+                )
+
+                if calib_frames is None:
+                    calib_frames = default_calibration_frames(det_size=det_size)
+                amax = self.calibrate_amax(calib_frames)
+                self.variables = jax.device_put(
+                    quantize_detector_variables(
+                        jax.device_get(self.variables), amax
+                    )
+                )
+            # else: loaded variables already carry int8 kernels (e.g. a
+            # save_npz of a quantized detector) — no recalibration
+            self.rnet = RNet(dtype=dtype, quantized=True)
+            self.onet = ONet(dtype=dtype, quantized=True)
+            self.quantized = True
+        elif self._variables_quantized():
+            raise ValueError(
+                "loaded detector variables are int8-quantized; construct "
+                "with quantize='int8' (the float R/O-nets cannot consume "
+                "kernel_q params)"
+            )
 
         self._detect_one = jax.jit(self._cascade)
         self._detect_batch = jax.jit(jax.vmap(self._cascade, in_axes=(None, 0)))
@@ -450,7 +491,8 @@ class MTCNNDetector:
             return crop_resize_pallas(img, boxes, out_size)
         return crop_resize(img, boxes, out_size, compute_dtype=self._crop_dtype)
 
-    def _stage2(self, variables, img, boxes, scores, valid):
+    def _stage2_crops(self, img, boxes):
+        """Squared candidate boxes -> (sq, 24px R-net crops)."""
         h, w, _ = img.shape
         sq = jnp.clip(_square(boxes), 0, max(h, w))
         d = self.rnet_crop_downscale
@@ -475,17 +517,28 @@ class MTCNNDetector:
             crops = self._crop(small, small_boxes, 24)
         else:
             crops = self._crop(img, sq, 24)
-        prob, reg = self.rnet.apply(variables["rnet"], crops)
+        return sq, crops
+
+    def _stage2_finish(self, sq, prob, reg, valid):
         valid = valid & (prob > self.thresholds[1])
         boxes = _apply_reg(sq, reg)
         keep = nms_mask(boxes, prob, valid, iou_threshold=0.7)
-        boxes, scores, valid = topk_boxes(boxes, jnp.where(keep, prob, _NEG), keep, self.stage2_keep)
-        return boxes, scores, valid
+        return topk_boxes(
+            boxes, jnp.where(keep, prob, _NEG), keep, self.stage2_keep
+        )
 
-    def _stage3(self, variables, img, boxes, scores, valid):
+    def _stage2(self, variables, img, boxes, scores, valid):
+        sq, crops = self._stage2_crops(img, boxes)
+        prob, reg = self.rnet.apply(variables["rnet"], crops)
+        return self._stage2_finish(sq, prob, reg, valid)
+
+    def _stage3_crops(self, img, boxes):
         h, w, _ = img.shape
         sq = jnp.clip(_square(boxes), 0, max(h, w))
-        crops = self._crop(img, sq, 48)
+        return sq, self._crop(img, sq, 48)
+
+    def _stage3(self, variables, img, boxes, scores, valid):
+        sq, crops = self._stage3_crops(img, boxes)
         prob, reg, lmk = self.onet.apply(variables["onet"], crops)
         valid = valid & (prob > self.thresholds[2])
 
@@ -522,6 +575,78 @@ class MTCNNDetector:
             "landmarks": landmarks,
             "valid": valid,
         }
+
+    # --------------------------------------------------------- calibration
+
+    def _variables_quantized(self) -> bool:
+        """Whether the loaded variable tree carries int8 R-net kernels."""
+        try:
+            return "kernel_q" in self.variables["rnet"]["params"]["conv1"]
+        except (KeyError, TypeError):
+            return False
+
+    def calibrate_amax(self, frames: np.ndarray) -> dict:
+        """Observe max|input| of every R/O-net conv/fc over calibration
+        frames (raw RGB uint8 [N, H, W, 3] at det_size), for int8
+        activation scales (models/quantize.py scheme).
+
+        Must run on the FLOAT cascade (before variables are quantized).
+        conv1 sees the crops directly; conv2..N see the pooled PReLU
+        outputs — the ceil-mode max pools here have stride <= window, so
+        every element lands in some window and the captured PReLU amax
+        over-estimates the pooled conv input's only through damped
+        negatives (conservative: a too-large scale costs fractions of an
+        LSB, a too-small one clips).
+        """
+        if self.quantized:
+            raise RuntimeError(
+                "calibrate_amax needs the float cascade; this detector is "
+                "already quantized"
+            )
+
+        def one(v, frame):
+            img = (frame.astype(jnp.float32) - 127.5) / 128.0
+            stage1 = self._stage1_packed if self.pack_pyramid else self._stage1
+            boxes, scores, valid = stage1(v, img)
+            sq, crops24 = self._stage2_crops(img, boxes)
+            (prob, reg), tr = self.rnet.apply(
+                v["rnet"], crops24,
+                capture_intermediates=True, mutable=["intermediates"],
+            )
+            boxes2, scores2, valid2 = self._stage2_finish(sq, prob, reg, valid)
+            _, crops48 = self._stage3_crops(img, boxes2)
+            _, to = self.onet.apply(
+                v["onet"], crops48,
+                capture_intermediates=True, mutable=["intermediates"],
+            )
+
+            def amx(x):
+                return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+            def prelu_amax(tree, name):
+                return amx(tree["intermediates"][name]["__call__"][0])
+
+            return {
+                "rnet": {
+                    "conv1": amx(crops24),
+                    "conv2": prelu_amax(tr, "prelu1"),
+                    "conv3": prelu_amax(tr, "prelu2"),
+                    "fc1": prelu_amax(tr, "prelu3"),
+                },
+                "onet": {
+                    "conv1": amx(crops48),
+                    "conv2": prelu_amax(to, "prelu1"),
+                    "conv3": prelu_amax(to, "prelu2"),
+                    "conv4": prelu_amax(to, "prelu3"),
+                    "fc1": prelu_amax(to, "prelu4"),
+                },
+            }
+
+        run = jax.jit(jax.vmap(one, in_axes=(None, 0)))
+        per_frame = jax.device_get(run(self.variables, jnp.asarray(frames)))
+        return jax.tree_util.tree_map(
+            lambda a: float(np.max(a)), per_frame
+        )
 
     # ---------------------------------------------------------------- API
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from facerecognitionpipeline_tpu.models.irse import PReLU
+from facerecognitionpipeline_tpu.models.irse import PReLU, QuantConv, QuantDense
 
 
 def _pool(x: jax.Array, window: int, stride: int) -> jax.Array:
@@ -55,25 +55,51 @@ class PNet(nn.Module):
         return prob, reg.astype(jnp.float32)
 
 
+def _conv(quantized: bool, features: int, ksize: int, dtype, name: str):
+    """VALID conv layer factory: float nn.Conv or static-scale int8
+    QuantConv (per-output-channel weights + calibrated activation scale;
+    variables from `models.quantize.quantize_detector_variables`)."""
+    if quantized:
+        return QuantConv(
+            features, (ksize, ksize), strides=1, padding=0, dtype=dtype,
+            name=name,
+        )
+    return nn.Conv(
+        features, (ksize, ksize), padding="VALID", dtype=dtype, name=name
+    )
+
+
+def _dense(quantized: bool, features: int, dtype, name: str):
+    if quantized:
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class RNet(nn.Module):
-    """Refine net on 24x24 crops -> (prob [B], reg [B,4])."""
+    """Refine net on 24x24 crops -> (prob [B], reg [B,4]).
+
+    quantized=True swaps conv1-3 and fc1 for int8 QuantConv/QuantDense (the
+    FLOP carriers; ~2x MXU rate on v5e — see models/quantize.py). The
+    cls/reg heads and PReLUs stay in the float compute dtype: they are
+    negligible FLOPs and directly decide scores/boxes."""
 
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         x = x.astype(self.dtype)
-        x = nn.Conv(28, (3, 3), padding="VALID", dtype=self.dtype, name="conv1")(x)
+        x = _conv(self.quantized, 28, 3, self.dtype, "conv1")(x)
         x = PReLU(name="prelu1")(x)
         x = _pool(x, 3, 2)
-        x = nn.Conv(48, (3, 3), padding="VALID", dtype=self.dtype, name="conv2")(x)
+        x = _conv(self.quantized, 48, 3, self.dtype, "conv2")(x)
         x = PReLU(name="prelu2")(x)
         x = _pool(x, 3, 2)
-        x = nn.Conv(64, (2, 2), padding="VALID", dtype=self.dtype, name="conv3")(x)
+        x = _conv(self.quantized, 64, 2, self.dtype, "conv3")(x)
         x = PReLU(name="prelu3")(x)
         # torch flattens NCHW: transpose so imported dense weights line up.
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        x = nn.Dense(128, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.quantized, 128, self.dtype, "fc1")(x)
         x = PReLU(name="prelu4")(x)
         logits = nn.Dense(2, dtype=self.dtype, name="cls")(x)
         reg = nn.Dense(4, dtype=self.dtype, name="reg")(x)
@@ -84,26 +110,28 @@ class RNet(nn.Module):
 class ONet(nn.Module):
     """Output net on 48x48 crops -> (prob [B], reg [B,4], landmarks [B,5,2]).
 
-    Landmarks are box-relative fractions (x then y in canonical layout)."""
+    Landmarks are box-relative fractions (x then y in canonical layout).
+    quantized: int8 conv1-4 + fc1, same scheme as RNet."""
 
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
         x = x.astype(self.dtype)
-        x = nn.Conv(32, (3, 3), padding="VALID", dtype=self.dtype, name="conv1")(x)
+        x = _conv(self.quantized, 32, 3, self.dtype, "conv1")(x)
         x = PReLU(name="prelu1")(x)
         x = _pool(x, 3, 2)
-        x = nn.Conv(64, (3, 3), padding="VALID", dtype=self.dtype, name="conv2")(x)
+        x = _conv(self.quantized, 64, 3, self.dtype, "conv2")(x)
         x = PReLU(name="prelu2")(x)
         x = _pool(x, 3, 2)
-        x = nn.Conv(64, (3, 3), padding="VALID", dtype=self.dtype, name="conv3")(x)
+        x = _conv(self.quantized, 64, 3, self.dtype, "conv3")(x)
         x = PReLU(name="prelu3")(x)
         x = _pool(x, 2, 2)
-        x = nn.Conv(128, (2, 2), padding="VALID", dtype=self.dtype, name="conv4")(x)
+        x = _conv(self.quantized, 128, 2, self.dtype, "conv4")(x)
         x = PReLU(name="prelu4")(x)
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-        x = nn.Dense(256, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.quantized, 256, self.dtype, "fc1")(x)
         x = PReLU(name="prelu5")(x)
         logits = nn.Dense(2, dtype=self.dtype, name="cls")(x)
         reg = nn.Dense(4, dtype=self.dtype, name="reg")(x)

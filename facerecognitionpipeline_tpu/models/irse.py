@@ -132,6 +132,43 @@ class QuantConv(nn.Module):
         return y.astype(self.dtype) * out_scale + bias.astype(self.dtype)
 
 
+class QuantDense(nn.Module):
+    """Static-scale int8 dense layer (the fully-connected analogue of
+    QuantConv): per-output-channel symmetric int8 `kernel_q` with f32
+    dequantization `scale`, f32 `bias`, and one calibrated f32 `act_scale`
+    for the input. Used by the quantized detector R/O-net heads
+    (models/detector_nets.py) — the backbone's output fc stays float
+    (accuracy-critical, negligible FLOPs)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        kq = self.param(
+            "kernel_q", nn.initializers.zeros, (c_in, self.features), jnp.int8
+        )
+        w_scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        act_scale = self.param(
+            "act_scale", nn.initializers.ones, (), jnp.float32
+        )
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / act_scale)), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, kq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_scale = (act_scale * w_scale).astype(self.dtype)
+        return y.astype(self.dtype) * out_scale + bias.astype(self.dtype)
+
+
 class SEModule(nn.Module):
     """Squeeze-and-excitation: GAP → 1x1 conv (C→C/r) → ReLU → 1x1 conv → sigmoid."""
 

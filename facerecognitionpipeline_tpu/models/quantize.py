@@ -124,6 +124,76 @@ def quantize_folded_variables(
     return {"params": out}
 
 
+def quantize_detector_variables(
+    variables: dict,
+    activation_amax: Dict[str, Dict[str, float]],
+    headroom: float = 1.0,
+) -> dict:
+    """Rewrite MTCNN detector variables for quantized R/O-nets.
+
+    variables: the float {'pnet'/'rnet'/'onet': {'params': ...}} tree;
+    activation_amax: {'rnet': {'conv1': a, ..., 'fc1': a}, 'onet': {...}}
+    from MTCNNDetector.calibrate_amax. conv1..N and fc1 of rnet/onet become
+    {kernel_q int8, scale f32[oc], bias f32, act_scale f32 scalar}
+    (QuantConv/QuantDense layout); P-net, PReLUs and the cls/reg/landmark
+    heads copy through unchanged. Per-output-channel weight scales reduce
+    over every axis but the last (works for HWIO conv kernels and [in, out]
+    dense kernels alike)."""
+    out = {"pnet": jax.tree_util.tree_map(np.asarray, variables["pnet"])}
+    for net in ("rnet", "onet"):
+        amax = activation_amax[net]
+        params = variables[net]["params"]
+        q: dict = {}
+        for key, sub in params.items():
+            if key not in amax:
+                q[key] = jax.tree_util.tree_map(np.asarray, sub)
+                continue
+            w = np.asarray(sub["kernel"], np.float32)
+            w_scale = np.maximum(
+                np.max(np.abs(w), axis=tuple(range(w.ndim - 1))) / _QMAX,
+                1e-12,
+            )
+            kq = np.clip(np.round(w / w_scale), -_QMAX, _QMAX).astype(np.int8)
+            a = amax[key] * headroom
+            q[key] = {
+                "kernel_q": kq,
+                "scale": w_scale.astype(np.float32),
+                "bias": np.asarray(sub["bias"], np.float32),
+                "act_scale": np.float32(max(a, 1e-12) / _QMAX),
+            }
+        out[net] = {"params": q}
+    return out
+
+
+def default_calibration_frames(
+    det_size: tuple[int, int] = (640, 640), n: int = 6, seed: int = 0
+) -> np.ndarray:
+    """Synthetic full-frame calibration scenes for detector quantization:
+    a spread of stress categories (multi-face, crowded, tiny, noisy,
+    low-contrast, empty/hard-negative) rendered square and resized to
+    det_size, so the R/O-net activation ranges cover both face crops and
+    background/distractor crops. Raw RGB uint8 [n, H, W, 3]. For imported
+    real-world detector weights, calibrate on real frames instead
+    (MTCNNDetector(quantize='int8', calib_frames=...))."""
+    import cv2
+
+    from facerecognitionpipeline_tpu.evalharness.detection import (
+        render_stress_scene,
+    )
+
+    cats = ["baseline", "crowded", "tiny", "noisy", "low_contrast",
+            "hard_negatives"]
+    rng = np.random.default_rng(seed)
+    h, w = det_size
+    frames = []
+    for i in range(n):
+        img, _ = render_stress_scene(rng, cats[i % len(cats)], size=min(h, w))
+        if img.shape[:2] != (h, w):
+            img = cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+        frames.append(img.astype(np.uint8))
+    return np.stack(frames)
+
+
 def load_calibration_faces(
     directory: str, size: int = 112, limit: int = 256
 ) -> np.ndarray:
