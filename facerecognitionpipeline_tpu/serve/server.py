@@ -131,6 +131,8 @@ class FaceRecognitionServer:
         quantize: Optional[str] = None,
         quantize_calib: Optional[str] = None,
         shard_gallery: bool = False,
+        max_requests: Optional[int] = None,
+        legacy_faces_route: bool = False,
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights replicate,
@@ -160,11 +162,23 @@ class FaceRecognitionServer:
         detected/tracked; recognition for them retries on later frames.
         quantize: None or 'int8' — post-training-quantized embedder (res
         convs on the MXU int8 path, ~1.4x step throughput; see
-        models/quantize.py for the scheme and its calibration caveat).
+        models/quantize.py for the scheme and its calibration caveat) AND
+        detector (R/O-net convs/fc, calibrated on synthetic full-frame
+        scenes — models/detector.py::calibrate_amax).
         quantize_calib: directory of aligned face crops to calibrate the
         int8 activation scales on — REQUIRED in spirit when serving
         imported real-world weights (the synthetic default only covers the
-        shipped synthetic weights; docs/weights.md)."""
+        shipped synthetic weights; docs/weights.md).
+        max_requests: after this many frame-processing requests the server
+        requests a recycle — the HTTP loop drains and the process exits
+        with code 75 so the supervisor (`--max_requests` CLI mode) can
+        respawn a fresh worker. Operational mitigation for per-request RSS
+        retained OUTSIDE the framework (this image's device-tunnel client
+        leaks ~0.6 MB/request — bisected in PERFORMANCE.md, regression-
+        gated by tests/test_serving_leak.py). Session state is continuously
+        flushed to disk and the respawned worker resumes it, so a recycle
+        loses only in-flight tracker state (tracks re-form; attendance
+        dedupes by student)."""
         self.similarity_threshold = similarity_threshold
         self.output_dir = output_dir
         self.model_type = model_type
@@ -219,10 +233,15 @@ class FaceRecognitionServer:
             from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
             from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
 
+            # quantize='int8' covers the detector too: the R/O-net
+            # convs/fc go int8 with activation scales calibrated on
+            # synthetic full-frame scenes at det_size (models/detector.py
+            # ::calibrate_amax; pass real frames via MTCNNDetector(...,
+            # calib_frames=...) when serving imported detector weights)
             detector = MTCNNDetector(
                 det_size=det_size, det_thresh=0.5, max_faces=max_faces,
                 min_face_size=40, dtype=jnp.bfloat16,
-                weights_path=detector_weights,
+                weights_path=detector_weights, quantize=quantize,
             )
             calib_faces = None
             if quantize_calib is not None:
@@ -287,19 +306,32 @@ class FaceRecognitionServer:
         self._lock = threading.Lock()
         self._io_lock = threading.Lock()
 
+        # POST /process_faces (legacy client-side detection) is opt-in:
+        # accepting client-chosen crops widens the input surface for no
+        # benefit on the modern path (see process_faces docstring)
+        self.legacy_faces_route = legacy_faces_route
+
+        # worker-recycle accounting (see max_requests in the docstring)
+        self.max_requests = max_requests
+        self._requests_served = 0
+        self._recycle_requested = False
+        self._httpd = None  # set by serve(); shutdown target for recycling
+
         if session_name:
             self._create_session(session_name)
 
     # --------------------------------------------------------------- session
 
-    def _create_session(self, session_name: str) -> None:
+    def _create_session(self, session_name: str, resume: bool = False) -> None:
         session_name = _safe_path_component(session_name, "session_name")
         # Session swaps must serialize with in-flight frames: a concurrent
         # /process_frame reads tracker/session state under self._lock.
         with self._lock:
-            self._create_session_locked(session_name)
+            self._create_session_locked(session_name, resume=resume)
 
-    def _create_session_locked(self, session_name: str) -> None:
+    def _create_session_locked(
+        self, session_name: str, resume: bool = False
+    ) -> None:
         self.session_name = session_name
         self.session_dir = os.path.join(self.output_dir, session_name)
         os.makedirs(self.session_dir, exist_ok=True)
@@ -338,8 +370,43 @@ class FaceRecognitionServer:
         self.frame_count = 0
         self.total_faces_detected = 0
         self.total_recognition_attempts = 0
-        self._init_session_files()
-        print(f"Session created: {session_name} -> {self.session_dir}")
+        prior = self._load_resumable_session() if resume else None
+        if prior is not None:
+            # Recycled worker re-opening the session it inherited: keep the
+            # on-disk attendance and fold the previous worker's counters in
+            # (session.json/attendance.json are continuously flushed, so
+            # this is exactly the crash-resume story SURVEY §5 credits the
+            # reference with — here it is also the recycle handoff).
+            stats = prior.get("statistics", {})
+            self.frame_count = int(stats.get("total_frames_processed", 0))
+            self.total_faces_detected = int(stats.get("total_faces_detected", 0))
+            self.total_recognition_attempts = int(
+                stats.get("total_recognition_attempts", 0)
+            )
+            start = prior.get("start_time")
+            if start:
+                try:
+                    self.session_start = datetime.fromisoformat(start)
+                except ValueError:
+                    pass
+            print(
+                f"Session resumed: {session_name} -> {self.session_dir} "
+                f"(frames so far: {self.frame_count})"
+            )
+        else:
+            self._init_session_files()
+            print(f"Session created: {session_name} -> {self.session_dir}")
+
+    def _load_resumable_session(self) -> Optional[Dict]:
+        """The existing session.json if this session can be resumed
+        (exists, parses, still active), else None (fresh init)."""
+        path = os.path.join(self.session_dir, "session.json")
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return None
+        return data if data.get("status") == "active" else None
 
     def _init_session_files(self) -> None:
         self._write_session(
@@ -591,6 +658,173 @@ class FaceRecognitionServer:
                         recognized=event_type == "recognized",
                     )
                 self._update_attendance(io_events, session_dir)
+        return response
+
+    def process_faces(
+        self, faces_data: List[Dict], frame_count: int, timestamp: str
+    ) -> Dict:
+        """Legacy client-side-detection contract: the client detects/aligns
+        on its own hardware and uploads base64 crops keyed by ITS track ids;
+        the server only buffers, embeds and matches.
+
+        Reference: `face_recognition_server.py:349-444` — whose route the
+        reference itself disabled (commented out at :846-866, and it calls
+        `cleanup_stale_tracks` on the wrong object, :355 vs :825 — a latent
+        crash we fix rather than replicate). Exposed behind
+        --legacy_faces_route (off by default: the modern /process_frame*
+        path is strictly better on TPU, where the fused step amortizes
+        detection across clients — docs/migrating.md).
+
+        Payload items: {track_id, aligned_face_base64, det_score?,
+        blur_score?, original_crop_base64?}. Response schema matches the
+        reference's (:433-444) plus the modern tracks_in_cooldown key.
+        """
+        timings = self.perf_monitor.start_request() if self.perf_monitor else None
+        to_embed: List[tuple] = []
+        with self._lock:
+            self.frame_count = frame_count
+            self.total_faces_detected += len(faces_data)
+            if self.perf_monitor:
+                self.perf_monitor.mark_recognition_start(timings)
+            seen_tracks = []
+            for fd in faces_data:
+                if "track_id" not in fd:
+                    continue
+                track_id = int(fd["track_id"])
+                aligned = _decode_image_b64(fd.get("aligned_face_base64", ""))
+                if aligned is None:
+                    continue
+                face = {
+                    "track_id": track_id,
+                    "aligned_face": aligned,
+                    # clients that don't score default to "good enough to
+                    # recognize" (det gate is 0.6, blur saturates at 100)
+                    "det_score": float(fd.get("det_score", 1.0)),
+                    "quality_metrics": {
+                        "blur_score": float(fd.get("blur_score", 100.0))
+                    },
+                }
+                oc = fd.get("original_crop_base64")
+                if oc:
+                    face["original_crop"] = _decode_image_b64(oc)
+                self.tracker.add_frame(track_id, face, timestamp)
+                seen_tracks.append(track_id)
+            for track_id in dict.fromkeys(seen_tracks):
+                if not self.tracker.should_recognize(track_id, frame_count):
+                    continue
+                best = self.tracker.get_best_frame(track_id)
+                if best is not None:
+                    to_embed.append((track_id, best))
+
+        # Device work OUTSIDE the tracker lock: one batched backbone forward
+        # for every due track, then one batched gallery search (the
+        # reference loops per face through torch, :375-377).
+        matches: List[List[tuple]] = []
+        if to_embed:
+            embs = self.engine.embedder.extract_embeddings_batch(
+                [best["aligned_face"] for _, best in to_embed]
+            )
+            matches = self.gallery.search_batch(embs, top_k=3)
+
+        recognition_events = []
+        num_recognized = num_unknown = 0
+        with self._lock:
+            for (track_id, best), match in zip(to_embed, matches):
+                if not match:
+                    continue
+                self.total_recognition_attempts += 1
+                self.tracker.increment_attempts(track_id)
+                sid, name, score = match[0]
+                recognized = score >= self.similarity_threshold
+                rec_result = {
+                    "student_id": sid,
+                    "name": name,
+                    "confidence": float(score),
+                    "track_id": track_id,
+                    "recognized": recognized,
+                    "top_matches": [
+                        {"student_id": s, "name": n, "score": float(sc)}
+                        for s, n, sc in match
+                    ],
+                    "timestamp": datetime.now().isoformat(),
+                    "detection_quality": {
+                        "det_score": best["det_score"],
+                        "blur_score": best["quality_metrics"].get(
+                            "blur_score", 0
+                        ),
+                    },
+                }
+                if recognized:
+                    num_recognized += 1
+                    self.tracker.mark_recognized(track_id, rec_result)
+                    recognition_events.append(("recognized", rec_result, best))
+                elif (
+                    self.tracker.recognition_attempts.get(track_id, 0)
+                    >= self.max_recognition_attempts
+                ):
+                    num_unknown += 1
+                    recognition_events.append(("unrecognized", rec_result, best))
+            for _, rec_result, _ in recognition_events:
+                tid = rec_result["track_id"]
+                rec_result["_first_seen"] = self.tracker.track_first_seen.get(
+                    tid, rec_result["timestamp"]
+                )
+                rec_result["_duration"] = self.tracker.get_track_duration(tid)
+            self.tracker.cleanup_stale_tracks(
+                seen_tracks, max_age_seconds=30.0
+            )
+            if self.perf_monitor:
+                self.perf_monitor.mark_recognition_end(timings)
+            perf_metrics = (
+                self.perf_monitor.end_request(
+                    timings,
+                    num_faces_processed=len(faces_data),
+                    num_faces_recognized=num_recognized,
+                    num_faces_unknown=num_unknown,
+                )
+                if self.perf_monitor
+                else {}
+            )
+            response = {
+                "frame_count": frame_count,
+                "faces_processed": len(faces_data),
+                "recognition_events": len(recognition_events),
+                "recognized_tracks": {
+                    str(k): {
+                        kk: vv
+                        for kk, vv in v.items()
+                        if kk != "saved_face_path"
+                    }
+                    for k, v in self.tracker.recognized_tracks.items()
+                },
+                "recognition_attempts": {
+                    str(k): v
+                    for k, v in self.tracker.recognition_attempts.items()
+                },
+                "failed_tracks": {
+                    str(k): True
+                    for k, v in self.tracker.recognition_attempts.items()
+                    if v >= self.max_recognition_attempts
+                    and k not in self.tracker.recognized_tracks
+                },
+                "tracks_in_cooldown": {
+                    str(k): True for k in self.tracker.track_cooldowns
+                },
+                "performance": perf_metrics,
+            }
+            session_dir = self.session_dir
+        if recognition_events:
+            with self._io_lock:
+                for event_type, rec_result, best in recognition_events:
+                    rec_result["saved_face_path"] = self._save_face_image(
+                        best,
+                        rec_result["track_id"],
+                        rec_result["student_id"],
+                        rec_result["name"],
+                        rec_result["confidence"],
+                        recognized=event_type == "recognized",
+                    )
+                self._update_attendance(recognition_events, session_dir)
         return response
 
     def _track_and_recognize(
@@ -923,6 +1157,67 @@ class FaceRecognitionServer:
             "num_students": len(self.gallery.students),
         }
 
+    def note_request_served(self) -> None:
+        """Count one frame-processing request toward `max_requests`.
+
+        On reaching the limit (once), persist the active session name for
+        the supervisor and ask the HTTP loop to drain: serve_forever
+        returns, main() exits with the recycle code, and the supervisor
+        respawns a fresh worker that resumes the session. Called AFTER the
+        response is written, so the triggering request completes normally.
+        """
+        if not self.max_requests:
+            return
+        self._requests_served += 1
+        if self._requests_served < self.max_requests or self._recycle_requested:
+            return
+        self._recycle_requested = True
+        state = {"session_name": self.session_name}
+        try:
+            with self._io_lock:
+                with open(
+                    os.path.join(self.output_dir, ".recycle_state.json"), "w"
+                ) as f:
+                    json.dump(state, f)
+            # Attendance is event-flushed, but the session counters normally
+            # only land in session.json at finalize — flush them now (status
+            # stays "active") so the respawned worker resumes with the true
+            # totals instead of zeros.
+            self._flush_session_stats()
+        except OSError as e:  # pragma: no cover - disk full etc.
+            print(f"[recycle] could not persist state: {e}", file=sys.stderr)
+        print(
+            f"[recycle] served {self._requests_served} requests "
+            f">= max_requests={self.max_requests}; draining for respawn",
+            file=sys.stderr,
+        )
+        if self._httpd is not None:
+            # shutdown() blocks until the accept loop exits; run it off
+            # this handler thread so the final response flushes first
+            threading.Thread(target=self._httpd.shutdown, daemon=True).start()
+
+    def _flush_session_stats(self) -> None:
+        """Update session.json's statistics block in place (status and the
+        rest of the document untouched). Caller holds no locks it needs;
+        reads+writes under _io_lock to serialize with attendance writers."""
+        if self.session_name is None:
+            return
+        path = os.path.join(self.session_dir, "session.json")
+        with self._lock:
+            stats = {
+                "total_frames_processed": self.frame_count,
+                "total_faces_detected": self.total_faces_detected,
+                "total_recognition_attempts": self.total_recognition_attempts,
+            }
+        with self._io_lock:
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                return
+            data.setdefault("statistics", {}).update(stats)
+            self._write_session(data)
+
     def shutdown(self) -> None:
         self.batcher.stop()
 
@@ -934,8 +1229,26 @@ def make_handler(server: FaceRecognitionServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
+        # Recycle mode bounds keep-alive: a draining worker joins its
+        # handler threads (block_on_close), and an idle persistent
+        # connection would otherwise block in readline() forever. The
+        # socket timeout makes idle keep-alive connections close within
+        # KEEPALIVE_IDLE_S (handle_one_request treats the timeout as
+        # close_connection); streaming clients post far more often than
+        # this, so live traffic never trips it.
+        KEEPALIVE_IDLE_S = 5.0
+        if server.max_requests:
+            timeout = KEEPALIVE_IDLE_S
+
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def _note_served(self) -> None:
+            """Count a frame request; once a recycle is pending, stop
+            honouring keep-alive so the drain completes promptly."""
+            server.note_request_served()
+            if server._recycle_requested:
+                self.close_connection = True
 
         def _json(self, payload: Dict, status: int = 200) -> None:
             body = json.dumps(payload).encode()
@@ -959,7 +1272,13 @@ def make_handler(server: FaceRecognitionServer):
 
         def do_GET(self):
             if self.path == "/health":
-                self._json({"status": "ok", "session": server.session_name})
+                # pid lets operators (and the recycle soak test) observe
+                # worker respawns without reading supervisor logs
+                self._json({
+                    "status": "ok",
+                    "session": server.session_name,
+                    "pid": os.getpid(),
+                })
             elif self.path == "/stats":
                 if server.perf_monitor:
                     self._json(server.perf_monitor.get_current_stats())
@@ -1009,6 +1328,7 @@ def make_handler(server: FaceRecognitionServer):
                         ),
                     )
                     self._json(result)
+                    self._note_served()
                     return
                 data = self._body()
                 if self.path == "/init_session":
@@ -1041,6 +1361,7 @@ def make_handler(server: FaceRecognitionServer):
                         data.get("timestamp", datetime.now().isoformat()),
                     )
                     self._json(result)
+                    self._note_served()
                 elif self.path == "/save_snapshot":
                     if server.session_name is None:
                         self._json(
@@ -1064,6 +1385,32 @@ def make_handler(server: FaceRecognitionServer):
                         client_report=data.get("client_performance_report")
                     )
                     self._json({"status": "finalized"})
+                elif self.path == "/process_faces":
+                    # legacy client-side-detection contract; opt-in (see
+                    # FaceRecognitionServer.process_faces)
+                    if not server.legacy_faces_route:
+                        self._json(
+                            {
+                                "error": "legacy /process_faces is disabled; "
+                                "start the server with --legacy_faces_route "
+                                "(or use /process_frame)"
+                            },
+                            404,
+                        )
+                        return
+                    if server.session_name is None:
+                        self._json(
+                            {"error": "No active session. Call /init_session first"},
+                            400,
+                        )
+                        return
+                    result = server.process_faces(
+                        data.get("faces", []),
+                        data.get("frame_count", 0),
+                        data.get("timestamp", datetime.now().isoformat()),
+                    )
+                    self._json(result)
+                    self._note_served()
                 elif self.path == "/reload_gallery":
                     # Hot-swap enrollment without a restart: re-read the
                     # CONFIGURED gallery pickle (no client-supplied path —
@@ -1092,8 +1439,19 @@ def make_handler(server: FaceRecognitionServer):
     return Handler
 
 
+class _DrainingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that waits for in-flight handler threads on
+    close — a recycling worker must finish (and flush) every accepted
+    request before the process exits."""
+
+    daemon_threads = False
+    block_on_close = True
+
+
 def serve(server: FaceRecognitionServer, host: str = "0.0.0.0", port: int = 5000):
-    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    cls = _DrainingHTTPServer if server.max_requests else ThreadingHTTPServer
+    httpd = cls((host, port), make_handler(server))
+    server._httpd = httpd
     print(f"Face recognition server listening on {host}:{port}")
     return httpd
 
@@ -1151,9 +1509,69 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of aligned face crops for int8 "
                         "activation-scale calibration (required in practice "
                         "with --quantize int8 on imported weights)")
+    p.add_argument("--max_requests", type=int, default=None,
+                   help="recycle the serving worker after this many frame "
+                        "requests: the process drains in-flight requests, "
+                        "exits, and a supervisor respawns it resuming the "
+                        "active session from disk. Bounds RSS growth from "
+                        "per-request memory retained outside the framework "
+                        "(this image's device-tunnel client leaks "
+                        "~0.6 MB/request — PERFORMANCE.md soak section)")
+    p.add_argument("--legacy_faces_route", action="store_true",
+                   help="enable the legacy POST /process_faces contract "
+                        "(client-side detection: clients upload aligned "
+                        "crops; the reference disabled this route — see "
+                        "docs/migrating.md)")
     p.add_argument("--use_gpu", action="store_true")
     p.add_argument("--use_cpu", action="store_true")
+    # internal (supervisor <-> worker); not part of the public surface
+    p.add_argument("--_worker", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--_resume_session", type=str, default=None,
+                   help=argparse.SUPPRESS)
     return p
+
+
+#: Worker exit code that asks the supervisor for a respawn (EX_TEMPFAIL).
+RECYCLE_EXIT_CODE = 75
+
+
+def _supervise(argv, args) -> int:
+    """Parent loop for --max_requests: run the server as a child process,
+    respawn it whenever it exits with RECYCLE_EXIT_CODE. The recycle is a
+    full process replacement — required because the retained memory being
+    bounded lives outside the framework's control (native client state), so
+    no in-process reset can free it."""
+    import subprocess
+
+    base = [
+        sys.executable, "-m", "facerecognitionpipeline_tpu.serve.server",
+        *argv, "--_worker",
+    ]
+    state_path = os.path.join(args.output_dir, ".recycle_state.json")
+    resume_session = None
+    generation = 0
+    while True:
+        cmd = list(base)
+        if resume_session:
+            cmd += ["--_resume_session", resume_session]
+        generation += 1
+        print(f"[recycle] starting worker generation {generation}",
+              file=sys.stderr)
+        rc = subprocess.call(cmd)
+        if rc != RECYCLE_EXIT_CODE:
+            return rc
+        resume_session = None
+        try:
+            with open(state_path) as f:
+                resume_session = json.load(f).get("session_name")
+        except (OSError, ValueError):
+            pass
+        print(
+            f"[recycle] worker recycled after --max_requests; respawning"
+            + (f" (resuming session {resume_session!r})"
+               if resume_session else ""),
+            file=sys.stderr,
+        )
 
 
 def main(argv=None) -> int:
@@ -1163,6 +1581,12 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.max_requests is not None and args.max_requests < 1:
+        raise SystemExit("--max_requests must be >= 1")
+    if args.max_requests and not args._worker:
+        return _supervise(
+            list(argv) if argv is not None else sys.argv[1:], args
+        )
     server = FaceRecognitionServer(
         gallery_path=args.gallery_path,
         similarity_threshold=args.threshold,
@@ -1183,15 +1607,22 @@ def main(argv=None) -> int:
         quantize=args.quantize,
         quantize_calib=args.quantize_calib,
         shard_gallery=args.shard_gallery,
+        max_requests=args.max_requests,
+        legacy_faces_route=args.legacy_faces_route,
     )
+    if args._resume_session:
+        # recycled worker: re-open the session the previous worker was
+        # serving (attendance/session state comes from disk)
+        server._create_session(args._resume_session, resume=True)
     httpd = serve(server, args.host, args.port)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        httpd.server_close()
         server.shutdown()
-    return 0
+    return RECYCLE_EXIT_CODE if server._recycle_requested else 0
 
 
 if __name__ == "__main__":

@@ -93,7 +93,9 @@ def server(tmp_path, rng):
 def test_health_and_session_lifecycle(server, rng):
     srv, url, tmp_path = server
     r = requests.get(f"{url}/health", timeout=5)
-    assert r.json() == {"status": "ok", "session": None}
+    body = r.json()
+    assert body["status"] == "ok" and body["session"] is None
+    assert body["pid"] == os.getpid()  # recycle observability (in-process here)
 
     # frame before session -> 400
     frame = rng.integers(0, 256, (480, 640, 3), dtype=np.uint8)
