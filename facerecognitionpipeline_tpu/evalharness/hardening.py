@@ -147,6 +147,66 @@ def subsampled_gallery(
     }
 
 
+def noise_knee(rows: List[Dict], criterion: float = 0.95) -> Optional[float]:
+    """The noise-to-signal ratio at which rank-1 first crosses `criterion`,
+    linearly interpolated between the bracketing sweep sigmas.
+
+    THE summary scalar of a noise sweep: saturated protocols report 1.0
+    rank-1 at every low sigma, but the knee moves continuously with any
+    numeric regression in the scoring stack. None if the sweep never drops
+    below the criterion (knee beyond the swept range)."""
+    prev = None
+    for row in rows:
+        if row["rank1_accuracy"] < criterion:
+            if prev is None:
+                return float(row["sigma"])
+            ds = row["sigma"] - prev["sigma"]
+            dr = prev["rank1_accuracy"] - row["rank1_accuracy"]
+            if dr <= 0:
+                return float(row["sigma"])
+            frac = (prev["rank1_accuracy"] - criterion) / dr
+            return float(prev["sigma"] + frac * ds)
+        prev = row
+    return None
+
+
+def headline_hard_block(hard: Dict) -> Dict:
+    """Compress one model's hard-variant results into the front-page
+    operating points (VERDICT r3 #3: no top-level metric at floor/ceiling).
+
+    Input layout = what examples/real_embedding_eval.py stores per model:
+    {'noise_sweep': [...], 'subsampled_gallery_10': {...},
+     'cross_model_impostors': {...}}. Every extracted scalar is genuinely
+    sloped: the knee interpolates between sweep points, the sigma-point
+    metrics sit past the knee, and the margins are score-scale quantities
+    that move with any embedding/scoring change."""
+    sweep = hard["noise_sweep"]
+    by_sigma = {row["sigma"]: row for row in sweep}
+    hardest = sweep[-1]
+    sub = hard.get("subsampled_gallery_10", {})
+    xm = hard.get("cross_model_impostors", {})
+
+    def margin(block):
+        if "genuine_mean" not in block or "impostor_mean" not in block:
+            return None
+        return round(block["genuine_mean"] - block["impostor_mean"], 4)
+
+    out = {
+        "noise_knee_sigma": noise_knee(sweep),
+        "rank1_at_sigma_max": hardest["rank1_accuracy"],
+        "eer_at_sigma_max": hardest["eer"],
+        "dprime_at_sigma4": (
+            by_sigma[4.0]["dprime"] if 4.0 in by_sigma else None
+        ),
+        "open_set_margin_n10": margin(sub),
+        "open_set_dprime_n10": sub.get("dprime"),
+        "cross_model_margin": margin(xm),
+        "sigma_max": hardest["sigma"],
+    }
+    return {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
 def cross_model_impostors(
     gallery: Dict,
     probes: Dict,

@@ -13,6 +13,8 @@ import pytest
 
 from facerecognitionpipeline_tpu.evalharness.hardening import (
     cross_model_impostors,
+    headline_hard_block,
+    noise_knee,
     noise_sweep,
     perturb_corpus,
     subsampled_gallery,
@@ -148,3 +150,72 @@ def test_hardening_accepts_category_wrapped_corpus(adaface_corpus):
     x_plain = cross_model_impostors(gallery, probes, probes, THRESHOLDS, negatives)
     x_w = cross_model_impostors(gallery, probes, probes, THRESHOLDS, wrapped_n)
     assert x_w["impostor_mean"] == x_plain["impostor_mean"]
+
+
+# --------------------------------------------- headline front page (r3 #3)
+
+
+def test_noise_knee_interpolates():
+    rows = [
+        {"sigma": 0.0, "rank1_accuracy": 1.0},
+        {"sigma": 4.0, "rank1_accuracy": 1.0},
+        {"sigma": 6.0, "rank1_accuracy": 0.90},
+    ]
+    # crossing 0.95 halfway down the 4->6 segment
+    assert noise_knee(rows, criterion=0.95) == pytest.approx(5.0)
+    # never crosses -> None (knee beyond the swept range)
+    assert noise_knee(rows[:2], criterion=0.95) is None
+    # first row already below -> that sigma
+    assert noise_knee(rows[2:], criterion=0.95) == 6.0
+
+
+HEADLINE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "reports", "real_embedding_eval", "headline.json",
+)
+
+
+@pytest.mark.skipif(not os.path.exists(HEADLINE), reason="report not built")
+def test_checked_in_headline_leads_with_sloped_metrics():
+    """The flagship eval artifact must have regression sensitivity on its
+    face: the hard block comes first and none of its scalars sit at
+    floor/ceiling (VERDICT r3 #3). The saturated base protocol stays as an
+    explicitly-labeled compatibility row."""
+    with open(HEADLINE) as f:
+        headline = json.load(f)
+    assert headline, "empty headline"
+    for model, blk in headline.items():
+        keys = list(blk)
+        assert keys[0] == "hard", f"{model}: hard block must lead"
+        assert "base_protocol_saturated" in blk, model
+        hb = blk["hard"]
+        # the knee is a finite interpolated scalar strictly inside the sweep
+        assert hb["noise_knee_sigma"] is not None, model
+        assert 0.0 < hb["noise_knee_sigma"] < hb["sigma_max"], model
+        # at the hardest sigma identification is degraded but not destroyed
+        assert 0.0 < hb["rank1_at_sigma_max"] < 1.0, model
+        assert 0.0 < hb["eer_at_sigma_max"] < 0.5, model
+        # margins are strictly between floor (0) and ceiling (saturated ~1.8)
+        assert 0.0 < hb["open_set_margin_n10"] < 1.0, model
+        if hb["cross_model_margin"] is not None:
+            assert 0.0 < hb["cross_model_margin"] < 1.2, model
+
+
+def test_headline_hard_block_shapes(adaface_corpus):
+    gallery, probes, negatives = adaface_corpus
+    rows = noise_sweep(
+        gallery, probes, negatives, THRESHOLDS, sigmas=(0.0, 4.0, 8.0)
+    )
+    sub = subsampled_gallery(
+        gallery, probes, negatives, THRESHOLDS, n_enrolled=10, seed=0
+    )
+    blk = headline_hard_block(
+        {"noise_sweep": rows, "subsampled_gallery_10": sub,
+         "cross_model_impostors": {"skipped": "n/a"}}
+    )
+    assert blk["sigma_max"] == 8.0
+    assert blk["dprime_at_sigma4"] == pytest.approx(rows[1]["dprime"], abs=1e-3)
+    assert blk["open_set_margin_n10"] == pytest.approx(
+        sub["genuine_mean"] - sub["impostor_mean"], abs=1e-3
+    )
+    assert blk["cross_model_margin"] is None  # skipped block -> None
