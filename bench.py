@@ -164,13 +164,16 @@ def main() -> None:
         basis as the headline. Returns (p50_ms, faces_per_sec) or (None,
         None) — aux failures must never sink the headline, but a regression
         must not be indistinguishable from a transient skip, so the
-        traceback stays on stderr (the driver records stdout only)."""
+        traceback stays on stderr (the driver records stdout only).
+        make_engine_and_vars returns (engine, emb_vars); detector variables
+        come from the ENGINE's detector (int8 configs swap it)."""
         try:
             eng, emb_vars = make_engine_and_vars()
+            det_vars = eng.detector.variables
 
             def step_fn():
                 return eng._step(
-                    detector.variables, emb_vars, gallery._templates,
+                    det_vars, emb_vars, gallery._templates,
                     gallery._valid, frames, gallery_k=3,
                 )
 
@@ -199,14 +202,54 @@ def main() -> None:
     # evidence in tests/test_quantize.py and reports/synthetic_e2e). Same
     # fused step, ~1.4x the bf16 throughput; opt-in for serving
     # (--quantize int8), so reported as extra keys beside the bf16 headline.
+    emb_q = [None]  # built once, reused by the combo configs below
+
     def _int8_engine():
-        emb_q = FaceEmbedder(
+        emb_q[0] = FaceEmbedder(
             architecture="ir_101", dtype=jnp.bfloat16, quantize="int8",
             random_ok=True,
         )
-        return RecognitionEngine(detector, emb_q, top_k=3), emb_q.variables
+        return (
+            RecognitionEngine(detector, emb_q[0], top_k=3),
+            emb_q[0].variables,
+        )
 
     int8_p50_ms, int8_faces_per_sec = measure_aux(_int8_engine)
+
+    # Auxiliary: FULL int8 — detector cascade quantized too (R/O-net
+    # convs/fc on the MXU int8 path, activation scales calibrated on
+    # synthetic full-frame scenes; models/detector.py::calibrate_amax,
+    # parity pinned by tests/test_detector_quantize.py).
+    det_q = [None]
+
+    def _full_int8_engine():
+        det_q[0] = MTCNNDetector(
+            det_size=(640, 640), max_faces=MAX_FACES, min_face_size=40,
+            dtype=jnp.bfloat16, quantize="int8",
+        )
+        if emb_q[0] is None:  # int8 embedder aux failed; build fresh
+            emb_q[0] = FaceEmbedder(
+                architecture="ir_101", dtype=jnp.bfloat16, quantize="int8",
+                random_ok=True,
+            )
+        return (
+            RecognitionEngine(det_q[0], emb_q[0], top_k=3),
+            emb_q[0].variables,
+        )
+
+    full_int8_p50_ms, full_int8_faces_per_sec = measure_aux(_full_int8_engine)
+
+    # Auxiliary: the serving combo the README quotes — embed budget 8 on
+    # the full-int8 engine (frame throughput, not a faces/sec claim).
+    def _budget_int8_engine():
+        return (
+            RecognitionEngine(det_q[0], emb_q[0], top_k=3, embed_budget=8),
+            emb_q[0].variables,
+        )
+
+    budget_int8_p50_ms = None
+    if det_q[0] is not None and emb_q[0] is not None:
+        budget_int8_p50_ms, _ = measure_aux(_budget_int8_engine)
 
     baseline_faces_per_sec = 1000.0 / 74.85  # reference AdaFace ir_101 serial
     print(
@@ -229,6 +272,21 @@ def main() -> None:
                 # opt-in int8 embedder (same step, quantized res convs)
                 "p50_step_ms_int8": int8_p50_ms,
                 "faces_per_sec_int8": int8_faces_per_sec,
+                # full int8: detector cascade quantized too (round 4)
+                "p50_step_ms_full_int8": full_int8_p50_ms,
+                "faces_per_sec_full_int8": full_int8_faces_per_sec,
+                # embed budget 8 on the full-int8 engine (frame throughput)
+                "p50_step_ms_budget8_full_int8": budget_int8_p50_ms,
+                # weight provenance: random_ok=True makes silent random
+                # init the normal no-checkpoint path, so artifacts must
+                # self-describe whether a real checkpoint was loaded
+                # (ADVICE r3) — detection always uses the shipped trained
+                # cascade via default-weight auto-discovery
+                "pretrained": bool(getattr(embedder, "pretrained", False)),
+                "pretrained_int8": (
+                    bool(getattr(emb_q[0], "pretrained", False))
+                    if emb_q[0] is not None else None
+                ),
             }
         ),
         flush=True,
