@@ -71,10 +71,21 @@ def main() -> int:
         key = __import__("jax").random.PRNGKey(0)
         t = __import__("jax").random.normal(key, (g, 512), dtype=jnp.float32)
         t = t / jnp.linalg.norm(t, axis=1, keepdims=True)
-        t = t.astype(jnp.bfloat16)
+        if impl == "streaming_int8":
+            # int8 codes + per-row scales: half the HBM gallery bytes of
+            # bf16 (the streaming kernel is HBM-read bound)
+            from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+                quantize_templates,
+            )
+
+            t = quantize_templates(t)
+            engine_impl = "streaming"
+        else:
+            t = t.astype(jnp.bfloat16)
+            engine_impl = impl
         valid = jnp.ones((g,), bool)
         eng = RecognitionEngine(
-            detector, embedder, top_k=3, gallery_impl=impl,
+            detector, embedder, top_k=3, gallery_impl=engine_impl,
         )
 
         def step():
@@ -118,7 +129,7 @@ def main() -> int:
 
     for g in args.sizes:
         for impl in args.impls:
-            if impl == "streaming" and g % 4096:
+            if impl.startswith("streaming") and g % 4096:
                 continue  # chunk-divisibility (pad in real deployments)
             measure(g, impl)
     return 0

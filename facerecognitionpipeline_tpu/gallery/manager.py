@@ -88,18 +88,22 @@ class GalleryManager:
         aggregation_method: str = "mean",
         verbose: bool = True,
         mesh=None,
+        quantize: Optional[str] = None,
     ):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — the device
         template matrix row-shards over it (see DeviceGallery), for serving
         with `shard_gallery=True` engines where gallery HBM capacity and
-        read bandwidth scale with the mesh instead of replicating."""
+        read bandwidth scale with the mesh instead of replicating.
+        quantize: None or 'int8' — at streaming scale the device templates
+        become int8 codes + per-row scales (half the HBM bytes of bf16;
+        top-1 parity pinned in tests/test_pallas_gallery.py)."""
         if gallery_path is None:
             gallery_path = os.path.join(os.getcwd(), "gallery", "students.pkl")
         self.gallery_path = gallery_path
         self.aggregation_method = aggregation_method
         self.verbose = verbose
         self.students: Dict[str, StudentRecord] = {}
-        self._device = DeviceGallery(mesh=mesh)
+        self._device = DeviceGallery(mesh=mesh, quantize=quantize)
         self._dirty = True
         # Serializes the students-dict-mutation + dirty-flag transitions
         # against _sync_device's read-rebuild-clear: without it, a mutation

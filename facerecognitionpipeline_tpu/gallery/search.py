@@ -25,6 +25,14 @@ def _pad_to(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def template_rows(templates) -> int:
+    """Row count of a template operand: a plain [G, D] matrix or an
+    (int8 [G, D], per-row scales [G]) pair from
+    ops.pallas_gallery.quantize_templates."""
+    t = templates[0] if isinstance(templates, tuple) else templates
+    return t.shape[0]
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def cosine_topk(
     queries: jax.Array,
@@ -48,10 +56,27 @@ def cosine_topk(
 def _local_topk(q, t, v, top_k: int, streaming: bool, chunk: int):
     """One device's scoring of normalized-ish queries vs its template rows.
 
-    streaming=True runs the fused Pallas streaming kernel (bf16 template
-    chunks through VMEM, running top-k in scratch — HBM traffic is ONE read
-    of the shard, no [Q, G] similarity matrix anywhere); False is the plain
-    XLA matmul + lax.top_k."""
+    streaming=True runs the fused Pallas streaming kernel (bf16 — or int8
+    when `t` is a (codes, scales) pair — template chunks through VMEM,
+    running top-k in scratch: HBM traffic is ONE read of the shard, no
+    [Q, G] similarity matrix anywhere); False is the plain XLA matmul +
+    lax.top_k."""
+    if isinstance(t, tuple):
+        tq, sc = t
+        if streaming:
+            from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+                streaming_cosine_topk_int8,
+            )
+
+            return streaming_cosine_topk_int8(
+                q, tq, sc, v, top_k=top_k, chunk=chunk
+            )
+        qn = q / (jnp.linalg.norm(q, axis=1, keepdims=True) + _EPS)
+        sims = jnp.dot(
+            qn, tq.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
+        ) * sc[None, :]
+        sims = jnp.where(v[None, :], sims, _NEG)
+        return jax.lax.top_k(sims, top_k)
     if streaming:
         from facerecognitionpipeline_tpu.ops.pallas_gallery import (
             streaming_cosine_topk,
@@ -84,7 +109,7 @@ def sharded_cosine_topk(
     split it, but it doesn't need to).
     """
     n_dev = mesh.shape[axis]
-    g = templates.shape[0]
+    g = template_rows(templates)
     assert g % n_dev == 0, "pad gallery to a multiple of the mesh axis"
     shard = g // n_dev
     if top_k > shard:
@@ -113,10 +138,14 @@ def sharded_cosine_topk(
         gs, gi = jax.lax.top_k(s, top_k)
         return gs, jnp.take_along_axis(i, gi, axis=1)
 
+    tspec = (
+        (P(axis, None), P(axis)) if isinstance(templates, tuple)
+        else P(axis, None)
+    )
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
+        in_specs=(P(), tspec, P(axis)),
         out_specs=(P(), P()),
         # outputs are replicated by the tiled all_gather; the static VMA
         # check can't see through top_k, so disable it.
@@ -156,7 +185,7 @@ def dp_sharded_cosine_topk(
     Returns (scores [B, F, k], indices [B, F, k]) sharded like the queries.
     """
     n_dev = mesh.shape[axis]
-    g = templates.shape[0]
+    g = template_rows(templates)
     if g % n_dev:
         raise ValueError(
             f"gallery rows ({g}) must divide the mesh '{axis}' axis "
@@ -201,10 +230,14 @@ def dp_sharded_cosine_topk(
             gidx.reshape(b_loc, f, top_k),
         )
 
+    tspec = (
+        (P(axis, None), P(axis)) if isinstance(templates, tuple)
+        else P(axis, None)
+    )
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None), P(axis)),
+        in_specs=(P(axis, None, None), tspec, P(axis)),
         out_specs=(P(axis, None, None), P(axis, None, None)),
         # the static VMA check can't see through top_k/axis_index
         check_vma=False,
@@ -235,6 +268,7 @@ class DeviceGallery:
         streaming_threshold: int = 32768,
         mesh: Mesh | None = None,
         shard_axis: str = "data",
+        quantize: str | None = None,
     ):
         """mesh: optional — row-shard the template matrix over `shard_axis`
         (NamedSharding), so gallery HBM capacity and read bandwidth scale
@@ -243,7 +277,15 @@ class DeviceGallery:
         top-k candidates over ICI (`sharded_cosine_topk`), and the fused
         engine consumes the same sharded arrays via `dp_sharded_cosine_topk`
         (engine `shard_gallery=True`). The Pallas streaming path is
-        single-device-only and is not used under a mesh."""
+        single-device-only and is not used under a mesh.
+        quantize: None or 'int8' — at streaming scale the device copy
+        becomes int8 codes + per-row f32 scales instead of bf16, halving
+        gallery HBM bytes again (the streaming kernel is HBM-read bound).
+        Top-1 decisions match bf16 (tests/test_pallas_gallery.py); below
+        the streaming threshold the flag is inert (dense f32 matmul)."""
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = quantize
         self.dim = dim
         self.pad_multiple = pad_multiple
         self.streaming_threshold = streaming_threshold
@@ -288,13 +330,24 @@ class DeviceGallery:
             v = jax.device_put(
                 val, NamedSharding(self.mesh, P(self.shard_axis))
             )
-        # the bf16 copy inherits t's sharding (elementwise cast under jit
-        # preserves placement): halves gallery HBM reads at streaming scale
+        # the compact copy inherits t's sharding (elementwise/rowwise ops
+        # preserve placement): bf16 halves gallery HBM reads at streaming
+        # scale; quantize='int8' halves them AGAIN (codes + per-row scales)
+        if not streaming:
+            compact = None
+        elif self.quantize == "int8":
+            from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+                quantize_templates,
+            )
+
+            compact = quantize_templates(t)
+        else:
+            compact = t.astype(jnp.bfloat16)
         self._state = (
             list(ids),
             t,
             v,
-            t.astype(jnp.bfloat16) if streaming else None,
+            compact,
         )
 
     def snapshot(self):
@@ -358,6 +411,15 @@ class DeviceGallery:
                 templates_bf16 if streaming else templates,
                 valid, k, axis=self.shard_axis,
                 streaming=streaming, chunk=self.STREAM_CHUNK,
+            )
+        elif isinstance(templates_bf16, tuple):
+            from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+                streaming_cosine_topk_int8,
+            )
+
+            tq, sc = templates_bf16
+            scores, idx = streaming_cosine_topk_int8(
+                q, tq, sc, valid, top_k=k, chunk=self.STREAM_CHUNK,
             )
         elif templates_bf16 is not None:
             from facerecognitionpipeline_tpu.ops.pallas_gallery import (

@@ -238,8 +238,14 @@ class RecognitionEngine:
         an ICI candidate merge — G never materializes on one chip. At
         streaming scale (gallery_impl) the per-device scoring is the fused
         Pallas streaming kernel instead of the dense matmul."""
-        g = templates.shape[0]
-        if self.gallery_impl == "streaming":
+        from facerecognitionpipeline_tpu.gallery.search import template_rows
+
+        g = template_rows(templates)
+        quantized = isinstance(templates, tuple)  # (int8 codes, row scales)
+        if self.gallery_impl == "streaming" or quantized:
+            # int8 templates exist to cut streaming HBM reads; a 'dense'
+            # request would silently dequantize per step — route them
+            # through the streaming kernel always
             streaming = True
         elif self.gallery_impl == "dense":
             streaming = False
@@ -267,12 +273,20 @@ class RecognitionEngine:
         if streaming:
             from facerecognitionpipeline_tpu.ops.pallas_gallery import (
                 streaming_cosine_topk,
+                streaming_cosine_topk_int8,
             )
 
             def stream(q3, t, v):
-                s, i = streaming_cosine_topk(
-                    q3.reshape(-1, d), t, v, top_k=k, chunk=self.gallery_chunk
-                )
+                if isinstance(t, tuple):
+                    s, i = streaming_cosine_topk_int8(
+                        q3.reshape(-1, d), t[0], t[1], v,
+                        top_k=k, chunk=self.gallery_chunk,
+                    )
+                else:
+                    s, i = streaming_cosine_topk(
+                        q3.reshape(-1, d), t, v,
+                        top_k=k, chunk=self.gallery_chunk,
+                    )
                 return (
                     s.reshape(q3.shape[0], x, k),
                     i.reshape(q3.shape[0], x, k),
@@ -284,10 +298,11 @@ class RecognitionEngine:
                 # queries data-parallel, the gallery replicated per chip
                 from jax.sharding import PartitionSpec as P
 
+                tspec = (P(), P()) if quantized else P()
                 return jax.shard_map(
                     stream,
                     mesh=self.mesh,
-                    in_specs=(P("data"), P(), P()),
+                    in_specs=(P("data"), tspec, P()),
                     out_specs=(P("data"), P("data")),
                     check_vma=False,
                 )(feats, templates, valid)
@@ -477,9 +492,14 @@ class RecognitionEngine:
         # cache axis that varies in practice (frame shape, gallery padding,
         # top-k) — serving warms its buckets up front, so this fires only
         # for genuinely new programs (instant when persistently cached).
+        tpl = (
+            gallery_templates[0]
+            if isinstance(gallery_templates, tuple) else gallery_templates
+        )
         key = (
             tuple(frames.shape),
-            tuple(gallery_templates.shape),
+            tuple(tpl.shape),
+            str(tpl.dtype),
             int(gallery_k or self.top_k),
         )
         if key not in self._compiled_shapes:
@@ -487,8 +507,9 @@ class RecognitionEngine:
 
             print(
                 f"[RecognitionEngine] compiling fused step for frames "
-                f"{key[0]}, gallery {key[1]}, k={key[2]} (first use of this "
-                f"shape in this process; may take minutes uncached)",
+                f"{key[0]}, gallery {key[1]} {key[2]}, k={key[3]} (first "
+                f"use of this shape in this process; may take minutes "
+                f"uncached)",
                 file=_sys.stderr,
             )
             self._compiled_shapes.add(key)
