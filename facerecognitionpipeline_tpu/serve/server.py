@@ -133,6 +133,7 @@ class FaceRecognitionServer:
         shard_gallery: bool = False,
         max_requests: Optional[int] = None,
         legacy_faces_route: bool = False,
+        gallery_quantize: Optional[str] = None,
     ):
         """mesh_data: shard the fused recognition step data-parallel over
         this many devices (jax.sharding Mesh 'data' axis; weights replicate,
@@ -219,8 +220,13 @@ class FaceRecognitionServer:
                 "shard_gallery requires a data-parallel mesh "
                 "(--mesh_data >= 2)"
             )
+        # gallery_quantize='int8': at streaming scale (>=32k ids) device
+        # templates become int8 codes + per-row scales — half the HBM bytes
+        # of bf16, search at the HBM floor (ops/pallas_gallery.py); top-1
+        # decision parity pinned in tests/test_pallas_gallery.py
         self.gallery = gallery or GalleryManager(
-            gallery_path=gallery_path, mesh=mesh if wants_shard else None
+            gallery_path=gallery_path, mesh=mesh if wants_shard else None,
+            quantize=gallery_quantize,
         )
         # (mtime_ns, size) of the last pickle loaded via /reload_gallery —
         # None means "never reloaded", so the first reload always loads
@@ -1517,6 +1523,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "per-request memory retained outside the framework "
                         "(this image's device-tunnel client leaks "
                         "~0.6 MB/request — PERFORMANCE.md soak section)")
+    p.add_argument("--gallery_quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="store device gallery templates as int8 codes + "
+                        "per-row scales at streaming scale (>= 32k ids): "
+                        "half the gallery HBM bytes/reads; match decisions "
+                        "parity-pinned (PERFORMANCE.md int8 gallery)")
     p.add_argument("--legacy_faces_route", action="store_true",
                    help="enable the legacy POST /process_faces contract "
                         "(client-side detection: clients upload aligned "
@@ -1609,6 +1621,7 @@ def main(argv=None) -> int:
         shard_gallery=args.shard_gallery,
         max_requests=args.max_requests,
         legacy_faces_route=args.legacy_faces_route,
+        gallery_quantize=args.gallery_quantize,
     )
     if args._resume_session:
         # recycled worker: re-open the session the previous worker was

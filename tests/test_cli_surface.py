@@ -23,6 +23,7 @@ SERVE_MODULES = {
         "--gallery_path", "--threshold", "--session_name", "--host", "--port",
         "--model_type", "--architecture", "--recognition_interval",
         "--max_attempts", "--quantize", "--embed_budget", "--transport",
+        "--max_requests", "--legacy_faces_route", "--gallery_quantize",
     ],
     "facerecognitionpipeline_tpu.serve.client": [
         "--server", "--session_name", "--frame_skip", "--max_frames",
