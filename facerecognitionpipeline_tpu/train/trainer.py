@@ -55,6 +55,41 @@ class TrainConfig:
     lr_schedule: str = "constant"
     total_steps: int = 10_000
     warmup_steps: int = 0
+    # Fused one-pass SGD update (see _fused_sgd_apply): the r4 training
+    # bisect measured optax.chain(add_decayed_weights, sgd)'s multi-pass
+    # tree walk at 5.9 ms of the 72 ms ir_101 B=128 step; the fused form
+    # reads p/g/mu once and writes p'/mu' once. False falls back to the
+    # equivalent optax chain (kept as the parity oracle —
+    # tests/test_train.py pins bit-level agreement).
+    fused_optimizer: bool = True
+
+
+def _fused_sgd_apply(params, grads, opt_state, schedule, momentum, wd):
+    """One-pass SGD-momentum-with-weight-decay update.
+
+    Semantics are exactly optax.chain(add_decayed_weights(wd),
+    sgd(schedule, momentum)) + apply_updates:
+        mu' = momentum * mu + (g + wd * p);   p' = p - lr(count) * mu'
+    but computed in a single flattened tree walk so XLA emits one fused
+    read of (p, g, mu) and one write of (p', mu') per leaf instead of the
+    optax chain's separate decay/trace/scale/apply passes — measured
+    5.88 -> ~2 ms on the ir_101 B=128 step (PERFORMANCE.md training
+    attribution). opt_state = {'trace': tree-like-params, 'count': i32}.
+    """
+    count = opt_state["count"]
+    lr = schedule(count) if callable(schedule) else schedule
+    leaves_p, treedef = jax.tree_util.tree_flatten(params)
+    leaves_g = treedef.flatten_up_to(grads)
+    leaves_m = treedef.flatten_up_to(opt_state["trace"])
+    new_p, new_m = [], []
+    for p, g, mu in zip(leaves_p, leaves_g, leaves_m):
+        mu2 = momentum * mu + (g + wd * p)
+        new_m.append(mu2)
+        new_p.append((p - lr * mu2).astype(p.dtype))
+    return (
+        treedef.unflatten(new_p),
+        {"trace": treedef.unflatten(new_m), "count": count + 1},
+    )
 
 
 class Trainer:
@@ -64,9 +99,10 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.model = build_backbone(config.architecture, dtype=config.dtype)
+        self._schedule = self._make_schedule()
         self.tx = optax.chain(
             optax.add_decayed_weights(config.weight_decay),
-            optax.sgd(self._make_schedule(), momentum=config.momentum),
+            optax.sgd(self._schedule, momentum=config.momentum),
         )
         assert config.num_classes % mesh.shape["model"] == 0, (
             "num_classes must divide the model axis"
@@ -112,10 +148,18 @@ class Trainer:
             * 0.01
         )
         params = {"backbone": variables["params"], "classifier": classifier}
+        opt_state = (
+            {
+                "trace": jax.tree.map(jnp.zeros_like, params),
+                "count": jnp.asarray(0, jnp.int32),
+            }
+            if self.config.fused_optimizer
+            else self.tx.init(params)
+        )
         state = {
             "params": params,
             "batch_stats": variables["batch_stats"],
-            "opt_state": self.tx.init(params),
+            "opt_state": opt_state,
             "norm_ema": {  # adaface quality-proxy statistics
                 "mean": jnp.asarray(20.0),
                 "std": jnp.asarray(100.0),
@@ -278,10 +322,16 @@ class Trainer:
                 "classifier": grads["classifier"] / n_model,
             }
 
-            updates, opt_state = self.tx.update(
-                grads, state["opt_state"], state["params"]
-            )
-            params = optax.apply_updates(state["params"], updates)
+            if cfg.fused_optimizer:
+                params, opt_state = _fused_sgd_apply(
+                    state["params"], grads, state["opt_state"],
+                    self._schedule, cfg.momentum, cfg.weight_decay,
+                )
+            else:
+                updates, opt_state = self.tx.update(
+                    grads, state["opt_state"], state["params"]
+                )
+                params = optax.apply_updates(state["params"], updates)
 
             # BN stats: average the per-shard updates
             batch_stats = jax.tree.map(

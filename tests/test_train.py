@@ -140,3 +140,38 @@ def test_class_sharded_loss_matches_unsharded(rng):
     np.testing.assert_allclose(
         results["tp"][1], results["dp"][1], rtol=1e-3, atol=1e-5
     )
+
+
+def test_fused_optimizer_matches_optax(mesh, rng):
+    """The fused one-pass SGD update (r4, _fused_sgd_apply) must produce
+    the same trajectory as the optax chain it replaces — same params and
+    momentum after several steps on the same data (f32 tolerance: the two
+    walks reassociate the same arithmetic)."""
+    images = rng.uniform(-1, 1, size=(8, 112, 112, 3)).astype(np.float32)
+    labels = rng.integers(0, 64, size=(8,)).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+
+    states = {}
+    for fused in (True, False):
+        cfg = TrainConfig(
+            architecture="ir_micro", num_classes=64, loss="adaface",
+            learning_rate=0.05, lr_schedule="step", total_steps=10,
+            warmup_steps=2, fused_optimizer=fused,
+        )
+        trainer = Trainer(cfg, mesh)
+        state = trainer.init_state(0)
+        for _ in range(3):
+            state, _ = trainer.train_step(state, images, labels, key)
+        states[fused] = state
+
+    pf = jax.tree_util.tree_leaves(states[True]["params"])
+    po = jax.tree_util.tree_leaves(states[False]["params"])
+    for a, b in zip(pf, po):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=2e-6,
+        )
+    # fused opt_state carries the momentum trace + schedule count
+    assert int(states[True]["opt_state"]["count"]) == 3
+    tr = states[True]["opt_state"]["trace"]["classifier"]
+    assert tuple(tr.sharding.spec) == (None, "model")  # slots shard too
