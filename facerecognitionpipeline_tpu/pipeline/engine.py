@@ -242,10 +242,19 @@ class RecognitionEngine:
 
         g = template_rows(templates)
         quantized = isinstance(templates, tuple)  # (int8 codes, row scales)
-        if self.gallery_impl == "streaming" or quantized:
-            # int8 templates exist to cut streaming HBM reads; a 'dense'
-            # request would silently dequantize per step — route them
-            # through the streaming kernel always
+        if quantized:
+            # int8 pairs route through the streaming kernel (that's where
+            # the HBM halving pays) whenever the per-device rows satisfy
+            # its chunk divisibility; otherwise the dense dequantizing
+            # matmul arm (_local_topk) scores them — correct either way,
+            # e.g. the tiny shards of the multi-chip dry run.
+            rows = g
+            if self.shard_gallery and self.mesh is not None:
+                rows = g // self.mesh.shape["data"]
+            streaming = rows >= self.gallery_chunk and (
+                rows % self.gallery_chunk == 0
+            )
+        elif self.gallery_impl == "streaming":
             streaming = True
         elif self.gallery_impl == "dense":
             streaming = False
@@ -307,7 +316,18 @@ class RecognitionEngine:
                     check_vma=False,
                 )(feats, templates, valid)
             return stream(feats, templates, valid)
-        scores, idx = cosine_topk(feats.reshape(b * x, d), templates, valid, k)
+        if quantized:
+            # dense dequantizing arm for int8 pairs (chunk-infeasible sizes)
+            from facerecognitionpipeline_tpu.gallery.search import _local_topk
+
+            scores, idx = _local_topk(
+                feats.reshape(b * x, d), templates, valid, k,
+                streaming=False, chunk=self.gallery_chunk,
+            )
+        else:
+            scores, idx = cosine_topk(
+                feats.reshape(b * x, d), templates, valid, k
+            )
         return scores.reshape(b, x, k), idx.reshape(b, x, k)
 
     def _per_frame_quality(self, det, aligned):
