@@ -1552,7 +1552,12 @@ def _supervise(argv, args) -> int:
     respawn it whenever it exits with RECYCLE_EXIT_CODE. The recycle is a
     full process replacement — required because the retained memory being
     bounded lives outside the framework's control (native client state), so
-    no in-process reset can free it."""
+    no in-process reset can free it.
+
+    SIGTERM/SIGINT forward to the live worker: without this, killing the
+    supervisor orphans the worker (observed: a terminated soak left its
+    worker serving — and holding device memory — indefinitely)."""
+    import signal
     import subprocess
 
     base = [
@@ -1562,28 +1567,41 @@ def _supervise(argv, args) -> int:
     state_path = os.path.join(args.output_dir, ".recycle_state.json")
     resume_session = None
     generation = 0
-    while True:
-        cmd = list(base)
-        if resume_session:
-            cmd += ["--_resume_session", resume_session]
-        generation += 1
-        print(f"[recycle] starting worker generation {generation}",
-              file=sys.stderr)
-        rc = subprocess.call(cmd)
-        if rc != RECYCLE_EXIT_CODE:
-            return rc
-        resume_session = None
-        try:
-            with open(state_path) as f:
-                resume_session = json.load(f).get("session_name")
-        except (OSError, ValueError):
-            pass
-        print(
-            f"[recycle] worker recycled after --max_requests; respawning"
-            + (f" (resuming session {resume_session!r})"
-               if resume_session else ""),
-            file=sys.stderr,
-        )
+    child: list = [None]
+
+    def forward(signum, frame):  # pragma: no cover - signal timing
+        if child[0] is not None and child[0].poll() is None:
+            child[0].terminate()
+
+    prev_term = signal.signal(signal.SIGTERM, forward)
+    prev_int = signal.signal(signal.SIGINT, forward)
+    try:
+        while True:
+            cmd = list(base)
+            if resume_session:
+                cmd += ["--_resume_session", resume_session]
+            generation += 1
+            print(f"[recycle] starting worker generation {generation}",
+                  file=sys.stderr)
+            child[0] = subprocess.Popen(cmd)
+            rc = child[0].wait()
+            if rc != RECYCLE_EXIT_CODE:
+                return rc
+            resume_session = None
+            try:
+                with open(state_path) as f:
+                    resume_session = json.load(f).get("session_name")
+            except (OSError, ValueError):
+                pass
+            print(
+                f"[recycle] worker recycled after --max_requests; respawning"
+                + (f" (resuming session {resume_session!r})"
+                   if resume_session else ""),
+                file=sys.stderr,
+            )
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
+        signal.signal(signal.SIGINT, prev_int)
 
 
 def main(argv=None) -> int:

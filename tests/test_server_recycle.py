@@ -166,14 +166,27 @@ def test_supervisor_respawns_with_resume(tmp_path, monkeypatch):
     calls = []
     codes = iter([srv_mod.RECYCLE_EXIT_CODE, srv_mod.RECYCLE_EXIT_CODE, 0])
 
-    def fake_call(cmd):
+    class FakeProc:
+        def __init__(self, rc):
+            self._rc = rc
+
+        def wait(self):
+            return self._rc
+
+        def poll(self):
+            return self._rc
+
+        def terminate(self):  # pragma: no cover - signal path
+            pass
+
+    def fake_popen(cmd):
         calls.append(cmd)
         # worker persists handoff state before exiting with the recycle code
         with open(os.path.join(out_dir, ".recycle_state.json"), "w") as f:
             json.dump({"session_name": f"sess{len(calls)}"}, f)
-        return next(codes)
+        return FakeProc(next(codes))
 
-    monkeypatch.setattr(subprocess, "call", fake_call)
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
     args = srv_mod.build_parser().parse_args(
         ["--output_dir", out_dir, "--max_requests", "5"]
     )
