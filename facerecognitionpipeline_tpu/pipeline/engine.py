@@ -119,7 +119,13 @@ class RecognitionEngine:
         kernel runs per shard on the replicated gallery via shard_map;
         under shard_gallery each shard streams its own rows inside the
         candidate-merge path. Serve bf16 templates at scale
-        (GalleryManager.device_snapshot does) to halve the gallery reads.
+        (GalleryManager.device_snapshot does) to halve the gallery reads —
+        or an (int8 codes [G,D], per-row scales [G]) pair
+        (ops.pallas_gallery.quantize_templates / DeviceGallery
+        quantize='int8') to halve them AGAIN: quantized pairs override
+        gallery_impl and stream whenever the per-device rows divide
+        `gallery_chunk`, falling back to a dense dequantizing matmul
+        otherwise; top-1 decisions are parity-pinned either way.
 
         Budget fairness: selection is det-score-ranked, which on a static
         scene would pick the SAME faces every step and starve the rest
