@@ -233,3 +233,32 @@ def test_budget_under_dp_mesh_matches_single_device(parts, gallery, rng):
     np.testing.assert_array_equal(a["embedded"], b["embedded"])
     np.testing.assert_allclose(a["embeddings"], b["embeddings"], atol=1e-4)
     np.testing.assert_allclose(a["match_scores"], b["match_scores"], atol=1e-4)
+
+
+def test_budget_with_int8_gallery_templates(parts, gallery, rng):
+    """embed_budget composes with (int8 codes, scales) templates: the
+    compacted [B, kb] queries route through the quantized match path and
+    top-1 decisions equal the f32-template budget engine's."""
+    from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+        quantize_templates,
+    )
+
+    detector, embedder = parts
+    budget = RecognitionEngine(detector, embedder, top_k=2, embed_budget=2)
+    frames = rng.integers(0, 256, size=(3, 160, 160, 3), dtype=np.uint8)
+
+    a = budget.process_frames(frames, gallery._templates, gallery._valid, 2)
+    tq, sc = quantize_templates(np.asarray(gallery._templates))
+    b = budget.process_frames(frames, (tq, sc), gallery._valid, 2)
+
+    emb = np.asarray(a["embedded"])
+    np.testing.assert_array_equal(emb, np.asarray(b["embedded"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["match_idx"])[emb][:, 0],
+        np.asarray(b["match_idx"])[emb][:, 0],
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["match_scores"])[emb],
+        np.asarray(b["match_scores"])[emb],
+        atol=3e-3,
+    )
