@@ -317,10 +317,13 @@ class FaceRecognitionServer:
         # benefit on the modern path (see process_faces docstring)
         self.legacy_faces_route = legacy_faces_route
 
-        # worker-recycle accounting (see max_requests in the docstring)
+        # worker-recycle accounting (see max_requests in the docstring);
+        # own lock: the counter increments on every handler thread, and
+        # _lock/_io_lock can be held for a whole frame / disk write
         self.max_requests = max_requests
         self._requests_served = 0
         self._recycle_requested = False
+        self._recycle_lock = threading.Lock()
         self._httpd = None  # set by serve(); shutdown target for recycling
 
         if session_name:
@@ -1174,10 +1177,14 @@ class FaceRecognitionServer:
         """
         if not self.max_requests:
             return
-        self._requests_served += 1
-        if self._requests_served < self.max_requests or self._recycle_requested:
-            return
-        self._recycle_requested = True
+        with self._recycle_lock:
+            self._requests_served += 1
+            if (
+                self._requests_served < self.max_requests
+                or self._recycle_requested
+            ):
+                return
+            self._recycle_requested = True
         state = {"session_name": self.session_name}
         try:
             with self._io_lock:
