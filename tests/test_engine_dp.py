@@ -91,3 +91,37 @@ def test_dp_engine_quantized_embedder_under_mesh(rng):
 
     np.testing.assert_allclose(a["match_scores"], b["match_scores"], atol=1e-4)
     np.testing.assert_allclose(a["embeddings"], b["embeddings"], atol=1e-4)
+
+
+def test_dp_engine_int8_gallery_replicated_under_mesh(rng):
+    """DP mesh + REPLICATED int8 gallery pair: the shard_map tuple specs
+    ((P(), P()) for (codes, scales)) route each shard's queries through
+    the quantized match path; top-1 decisions equal the f32 run."""
+    import jax.numpy as jnp
+
+    from facerecognitionpipeline_tpu.ops.pallas_gallery import (
+        quantize_templates,
+    )
+
+    detector = MTCNNDetector(det_size=(160, 160), max_faces=4,
+                             min_face_size=40)
+    embedder = FaceEmbedder(architecture="ir_micro", random_ok=True)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), axis_names=("data",))
+    eng = RecognitionEngine(detector, embedder, top_k=2, mesh=mesh,
+                            gallery_chunk=256)
+
+    t = rng.normal(size=(1024, 512)).astype(np.float32)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    valid = np.ones(1024, bool)
+    frames = rng.integers(0, 256, size=(4, 160, 160, 3), dtype=np.uint8)
+
+    a = eng.process_frames(frames, jnp.asarray(t), jnp.asarray(valid), 2)
+    tq, sc = quantize_templates(t)
+    b = eng.process_frames(frames, (tq, sc), jnp.asarray(valid), 2)
+    np.testing.assert_array_equal(
+        np.asarray(b["match_idx"])[..., 0], np.asarray(a["match_idx"])[..., 0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["match_scores"]), np.asarray(a["match_scores"]),
+        atol=3e-3,
+    )
