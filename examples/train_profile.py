@@ -23,6 +23,12 @@ same fetch-verified chained-walls basis as bench.py. Variants:
   structural (transposed-conv/weight-grad layout) rather than anything in
   the trainer's own composition.
 
+NOTE: the loss variants below deliberately RE-COMPOSE the trainer's loss
+pieces standalone (no shard_map, no state plumbing) — that is what makes
+them marginal probes. The FULL row uses the real `Trainer.train_step`, so
+a drift between the trainer's loss and these probes shows up as margins
+that stop adding up, not as silent staleness.
+
 Run:  python examples/train_profile.py [batch] [arch]
 """
 

@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Mesh model axis (partial-FC class shards)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (params stay f32)")
+    p.add_argument("--optax_optimizer", action="store_true",
+                   help="use the optax add_decayed_weights+sgd chain "
+                        "instead of the fused one-pass SGD update (same "
+                        "trajectory, tests pin parity). Needed to RESUME "
+                        "checkpoints saved before the fused update became "
+                        "the default: the opt_state pytree structure "
+                        "differs, and orbax restores against the current "
+                        "structure")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/embedder")
     p.add_argument("--checkpoint_every", type=int, default=500)
     p.add_argument("--resume", action="store_true")
@@ -113,6 +121,7 @@ def main(argv=None) -> int:
         total_steps=args.steps,
         warmup_steps=args.warmup_steps,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        fused_optimizer=not args.optax_optimizer,
     )
     trainer = Trainer(cfg, mesh)
     state = trainer.init_state(args.seed)

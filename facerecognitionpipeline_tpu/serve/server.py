@@ -799,10 +799,12 @@ class FaceRecognitionServer:
                 "faces_processed": len(faces_data),
                 "recognition_events": len(recognition_events),
                 "recognized_tracks": {
+                    # same filter as /process_frame: no file path, no
+                    # _-prefixed attendance bookkeeping in the response
                     str(k): {
                         kk: vv
                         for kk, vv in v.items()
-                        if kk != "saved_face_path"
+                        if kk != "saved_face_path" and not kk.startswith("_")
                     }
                     for k, v in self.tracker.recognized_tracks.items()
                 },
@@ -945,8 +947,14 @@ class FaceRecognitionServer:
                 for tid, face in tracked
             ],
             "recognized_tracks": {
+                # exclude the host-side file path AND the _-prefixed
+                # bookkeeping fields stamped for _update_attendance (they
+                # are popped there, but a response built on the SAME frame
+                # as the recognition would otherwise leak them — the
+                # reference schema has neither)
                 str(k): {
-                    kk: vv for kk, vv in v.items() if kk != "saved_face_path"
+                    kk: vv for kk, vv in v.items()
+                    if kk != "saved_face_path" and not kk.startswith("_")
                 }
                 for k, v in self.tracker.recognized_tracks.items()
             },
@@ -1185,18 +1193,30 @@ class FaceRecognitionServer:
             ):
                 return
             self._recycle_requested = True
-        state = {"session_name": self.session_name}
+        # ONE locked read of (name, dir, counters): a concurrent
+        # /init_session swap mid-recycle must not pair one session's name
+        # with another's directory or counters (same captured-session
+        # discipline as the frame io path, _write_attendance docstring)
+        with self._lock:
+            session_name = self.session_name
+            session_dir = self.session_dir
+            stats = {
+                "total_frames_processed": self.frame_count,
+                "total_faces_detected": self.total_faces_detected,
+                "total_recognition_attempts": self.total_recognition_attempts,
+            }
         try:
             with self._io_lock:
                 with open(
                     os.path.join(self.output_dir, ".recycle_state.json"), "w"
                 ) as f:
-                    json.dump(state, f)
+                    json.dump({"session_name": session_name}, f)
             # Attendance is event-flushed, but the session counters normally
             # only land in session.json at finalize — flush them now (status
             # stays "active") so the respawned worker resumes with the true
             # totals instead of zeros.
-            self._flush_session_stats()
+            if session_name is not None:
+                self._flush_session_stats(session_dir, stats)
         except OSError as e:  # pragma: no cover - disk full etc.
             print(f"[recycle] could not persist state: {e}", file=sys.stderr)
         print(
@@ -1209,19 +1229,13 @@ class FaceRecognitionServer:
             # this handler thread so the final response flushes first
             threading.Thread(target=self._httpd.shutdown, daemon=True).start()
 
-    def _flush_session_stats(self) -> None:
+    def _flush_session_stats(self, session_dir: str, stats: Dict) -> None:
         """Update session.json's statistics block in place (status and the
-        rest of the document untouched). Caller holds no locks it needs;
-        reads+writes under _io_lock to serialize with attendance writers."""
-        if self.session_name is None:
-            return
-        path = os.path.join(self.session_dir, "session.json")
-        with self._lock:
-            stats = {
-                "total_frames_processed": self.frame_count,
-                "total_faces_detected": self.total_faces_detected,
-                "total_recognition_attempts": self.total_recognition_attempts,
-            }
+        rest of the document untouched). session_dir and stats are CAPTURED
+        by the caller under self._lock (a concurrent session swap must not
+        route one session's counters into another's file); reads+writes
+        under _io_lock to serialize with attendance writers."""
+        path = os.path.join(session_dir, "session.json")
         with self._io_lock:
             try:
                 with open(path) as f:
@@ -1229,7 +1243,8 @@ class FaceRecognitionServer:
             except (OSError, ValueError):
                 return
             data.setdefault("statistics", {}).update(stats)
-            self._write_session(data)
+            with open(path, "w") as f:
+                json.dump(data, f, indent=2)
 
     def shutdown(self) -> None:
         self.batcher.stop()
@@ -1247,9 +1262,14 @@ def make_handler(server: FaceRecognitionServer):
         # connection would otherwise block in readline() forever. The
         # socket timeout makes idle keep-alive connections close within
         # KEEPALIVE_IDLE_S (handle_one_request treats the timeout as
-        # close_connection); streaming clients post far more often than
-        # this, so live traffic never trips it.
-        KEEPALIVE_IDLE_S = 5.0
+        # close_connection). NOTE the stdlib applies it to EVERY recv —
+        # including mid-body reads of a POST — and drops a timed-out
+        # request without a response, so the bound is 30 s (a live client
+        # stalling one recv that long is already failing), not something
+        # aggressive: active connections close promptly anyway via
+        # _note_served once the drain starts; the timeout only reaps the
+        # fully idle ones.
+        KEEPALIVE_IDLE_S = 30.0
         if server.max_requests:
             timeout = KEEPALIVE_IDLE_S
 
@@ -1628,7 +1648,12 @@ def main(argv=None) -> int:
         gallery_path=args.gallery_path,
         similarity_threshold=args.threshold,
         output_dir=args.output_dir,
-        session_name=args.session_name,
+        # A recycled worker must NOT re-init --session_name before the
+        # resume below: constructor-time _create_session runs a fresh
+        # _init_session_files, which would wipe the very attendance/stats
+        # the resume is about to read (the --session_name + --max_requests
+        # combination; pinned by tests/test_server_recycle.py).
+        session_name=None if args._resume_session else args.session_name,
         model_type=args.model_type,
         architecture=args.architecture,
         model_path=args.model_path,

@@ -267,6 +267,9 @@ def test_legacy_faces_route_recognizes(tmp_path, rng):
         assert rec["student_id"] == "STU0000"
         assert rec["recognized"] is True
         assert rec["confidence"] == pytest.approx(1.0, abs=1e-3)
+        # no host file paths or _-prefixed bookkeeping in the wire schema
+        assert not any(k.startswith("_") for k in rec), rec.keys()
+        assert "saved_face_path" not in rec
 
         # attendance + face crop artifacts on disk
         sdir = os.path.join(str(tmp_path / "sessions"), "legacy")
@@ -320,3 +323,55 @@ def test_legacy_faces_route_unknown_face(tmp_path, rng):
         httpd.shutdown()
         httpd.server_close()
         srv.shutdown()
+
+
+def test_resumed_worker_does_not_reinit_session_name(tmp_path, rng, monkeypatch):
+    """--session_name + --_resume_session: the constructor must NOT
+    initialize --session_name (that would wipe session.json/attendance.json
+    moments before the resume reads them); resume wins."""
+    from facerecognitionpipeline_tpu.serve import server as srv_mod
+
+    calls = {}
+
+    class FakeServer:
+        _recycle_requested = False
+
+        def __init__(self, **kw):
+            calls["ctor_session_name"] = kw.get("session_name", "MISSING")
+
+        def _create_session(self, name, resume=False):
+            calls["resume"] = (name, resume)
+
+        def shutdown(self):
+            pass
+
+    class FakeHTTPD:
+        def serve_forever(self):
+            raise KeyboardInterrupt  # exit main() immediately
+
+        def server_close(self):
+            pass
+
+    monkeypatch.setattr(srv_mod, "FaceRecognitionServer", FakeServer)
+    monkeypatch.setattr(srv_mod, "serve", lambda s, h, p: FakeHTTPD())
+    rc = srv_mod.main([
+        "--gallery_path", str(tmp_path / "g.pkl"),
+        "--output_dir", str(tmp_path),
+        "--session_name", "shift",
+        "--max_requests", "5", "--_worker",
+        "--_resume_session", "shift",
+    ])
+    assert rc == 0
+    assert calls["ctor_session_name"] is None  # NOT re-initialized
+    assert calls["resume"] == ("shift", True)
+
+    # without a resume target, --session_name initializes normally
+    calls.clear()
+    srv_mod.main([
+        "--gallery_path", str(tmp_path / "g.pkl"),
+        "--output_dir", str(tmp_path),
+        "--session_name", "shift",
+        "--max_requests", "5", "--_worker",
+    ])
+    assert calls["ctor_session_name"] == "shift"
+    assert "resume" not in calls
