@@ -341,8 +341,26 @@ class FaceRecognitionServer:
     def _create_session_locked(
         self, session_name: str, resume: bool = False
     ) -> None:
+        session_dir = os.path.join(self.output_dir, session_name)
+        prior = self._load_resumable_session(session_dir) if resume else None
+        if resume and prior is None and os.path.exists(
+            os.path.join(session_dir, "session.json")
+        ):
+            # Resume miss on a session that EXISTS but is no longer active
+            # (e.g. /finalize landed during the recycle drain window):
+            # re-initializing here would overwrite the completed session's
+            # session.json/attendance.json with fresh empty files (ADVICE
+            # r4). Leave the artifacts untouched and start with no active
+            # session — clients open a new one via /init_session.
+            print(
+                f"[recycle] session {session_name!r} was finalized during "
+                f"the drain; leaving its artifacts untouched (no active "
+                f"session)",
+                file=sys.stderr,
+            )
+            return
         self.session_name = session_name
-        self.session_dir = os.path.join(self.output_dir, session_name)
+        self.session_dir = session_dir
         os.makedirs(self.session_dir, exist_ok=True)
 
         if self.enable_performance_monitoring:
@@ -379,7 +397,6 @@ class FaceRecognitionServer:
         self.frame_count = 0
         self.total_faces_detected = 0
         self.total_recognition_attempts = 0
-        prior = self._load_resumable_session() if resume else None
         if prior is not None:
             # Recycled worker re-opening the session it inherited: keep the
             # on-disk attendance and fold the previous worker's counters in
@@ -406,10 +423,10 @@ class FaceRecognitionServer:
             self._init_session_files()
             print(f"Session created: {session_name} -> {self.session_dir}")
 
-    def _load_resumable_session(self) -> Optional[Dict]:
+    def _load_resumable_session(self, session_dir: str) -> Optional[Dict]:
         """The existing session.json if this session can be resumed
         (exists, parses, still active), else None (fresh init)."""
-        path = os.path.join(self.session_dir, "session.json")
+        path = os.path.join(session_dir, "session.json")
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -1207,10 +1224,15 @@ class FaceRecognitionServer:
             }
         try:
             with self._io_lock:
-                with open(
-                    os.path.join(self.output_dir, ".recycle_state.json"), "w"
-                ) as f:
+                # temp + rename: a crash mid-write must not leave truncated
+                # JSON for the supervisor to trip on (ADVICE r4)
+                state_path = os.path.join(
+                    self.output_dir, ".recycle_state.json"
+                )
+                tmp_path = state_path + ".tmp"
+                with open(tmp_path, "w") as f:
                     json.dump({"session_name": session_name}, f)
+                os.replace(tmp_path, state_path)
             # Attendance is event-flushed, but the session counters normally
             # only land in session.json at finalize — flush them now (status
             # stays "active") so the respawned worker resumes with the true
@@ -1262,16 +1284,41 @@ def make_handler(server: FaceRecognitionServer):
         # connection would otherwise block in readline() forever. The
         # socket timeout makes idle keep-alive connections close within
         # KEEPALIVE_IDLE_S (handle_one_request treats the timeout as
-        # close_connection). NOTE the stdlib applies it to EVERY recv —
-        # including mid-body reads of a POST — and drops a timed-out
-        # request without a response, so the bound is 30 s (a live client
-        # stalling one recv that long is already failing), not something
-        # aggressive: active connections close promptly anyway via
-        # _note_served once the drain starts; the timeout only reaps the
-        # fully idle ones.
+        # close_connection). The stdlib applies it to EVERY recv, so
+        # MID-BODY reads go through _read_body below, which retries on
+        # timeout in normal operation (unbounded patience, matching the
+        # no-recycle configuration — ADVICE r4) and only lets the timeout
+        # drop the connection once a drain is pending. Idle-keep-alive
+        # reaping between requests stays: no request is in flight there,
+        # and reconnecting clients lose nothing.
         KEEPALIVE_IDLE_S = 30.0
         if server.max_requests:
             timeout = KEEPALIVE_IDLE_S
+
+        def _read_body(self, length: int) -> bytes:
+            """Read exactly `length` body bytes. read1 chunks map to single
+            raw recvs, so a timeout never discards partial progress (a
+            multi-recv rfile.read(length) can lose earlier chunks when a
+            later recv times out)."""
+            if not length:
+                return b""
+            chunks: list = []
+            remaining = length
+            while remaining:
+                try:
+                    chunk = self.rfile.read1(min(remaining, 1 << 16))
+                except TimeoutError:
+                    if server._recycle_requested:
+                        raise  # draining: stop waiting on stalled clients
+                    continue
+                if not chunk:
+                    raise ConnectionError(
+                        f"client closed mid-body ({remaining} of {length} "
+                        f"bytes unread)"
+                    )
+                chunks.append(chunk)
+                remaining -= len(chunk)
+            return b"".join(chunks)
 
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -1295,7 +1342,7 @@ def make_handler(server: FaceRecognitionServer):
             length = int(self.headers.get("Content-Length", 0))
             if not length:
                 return {}
-            data = json.loads(self.rfile.read(length) or b"{}")
+            data = json.loads(self._read_body(length) or b"{}")
             if not isinstance(data, dict):
                 # ValueError -> the 400 handler (client fault, not a 500)
                 raise ValueError(
@@ -1332,7 +1379,7 @@ def make_handler(server: FaceRecognitionServer):
                     # HTTP/1.1 keep-alive — the next request line would be
                     # parsed out of this frame's pixels.
                     length = int(self.headers.get("Content-Length", 0))
-                    payload = self.rfile.read(length) if length else b""
+                    payload = self._read_body(length)
                     if server.session_name is None:
                         self._json(
                             {"error": "No active session. Call /init_session first"},
@@ -1592,6 +1639,12 @@ def _supervise(argv, args) -> int:
         *argv, "--_worker",
     ]
     state_path = os.path.join(args.output_dir, ".recycle_state.json")
+    # a state file left behind by an EARLIER supervisor run must not leak
+    # its session into this run's first recycle (ADVICE r4)
+    try:
+        os.unlink(state_path)
+    except OSError:
+        pass
     resume_session = None
     generation = 0
     child: list = [None]
@@ -1619,6 +1672,13 @@ def _supervise(argv, args) -> int:
                 with open(state_path) as f:
                     resume_session = json.load(f).get("session_name")
             except (OSError, ValueError):
+                pass
+            # consume the state file: if the NEXT recycle fails to write its
+            # own (disk full), resuming this stale session name would be
+            # wrong — a missed write should mean "no resume" (ADVICE r4)
+            try:
+                os.unlink(state_path)
+            except OSError:
                 pass
             print(
                 f"[recycle] worker recycled after --max_requests; respawning"
