@@ -7,8 +7,10 @@ rejection, verification, segmented per-difficulty evaluation; then
 cross-model comparison, gallery-strategy analysis, statistical tests, failure
 analysis; export JSON/CSV/LaTeX tables, plots, and an executive summary.
 
-Threshold sweep: 0.20-0.90 step 0.05 (temp.py:835). Excel export falls back
-to CSV when openpyxl is absent (this image has none)."""
+Threshold sweep: 0.20-0.90 step 0.05 (temp.py:835). The Excel workbook
+export (reference temp.py:502-808) is native: utils/xlsx.py writes the
+OOXML parts directly, so no openpyxl is needed — CSV/LaTeX exports ride
+along as before."""
 
 from __future__ import annotations
 
@@ -152,6 +154,17 @@ def export_results(all_model_results: Dict, output_dir: str) -> Dict:
                 f.write(df.to_latex(index=False, float_format="%.4f"))
         except Exception:
             pass
+
+    # Excel workbook, one sheet per summary table (reference
+    # temp.py:502-808 `export_results_to_excel`) — written natively by
+    # utils/xlsx.py, no openpyxl required
+    nonempty = {name: df for name, df in tables.items() if not df.empty}
+    if nonempty:
+        from facerecognitionpipeline_tpu.utils.xlsx import write_xlsx
+
+        write_xlsx(
+            os.path.join(output_dir, "evaluation_results.xlsx"), nonempty
+        )
 
     blob = {
         "generated": datetime.now().isoformat(),
