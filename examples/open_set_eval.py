@@ -5,9 +5,9 @@ produces a headline-family backbone trained on identity seeds 0..N-1, this
 script measures what matters — whether the embedding space SEPARATES
 identities the model has never seen:
 
-* gallery: 100 held-out identities enrolled from 4 crops each;
+* gallery: 200 held-out identities enrolled from 4 crops each;
 * known probes: 10 fresh crops per enrolled identity (new pose/light);
-* unknown probes: 40 further held-out identities x 10 crops (open set);
+* unknown probes: 60 further held-out identities x 10 crops (open set);
 * conditions: clean + photometric/occlusion corruption batteries, so the
   curves are genuinely sloped instead of saturating;
 * protocols: closed-set identification (rank-1/5, ROC-AUC, d'),
@@ -46,8 +46,8 @@ from facerecognitionpipeline_tpu.pipeline.embedder import FaceEmbedder
 from facerecognitionpipeline_tpu.train.facegen import render_crop, sample_identity
 
 HELD_OUT_OFFSET = 10_000  # must match examples/train_ir18_open_set.py
-N_GALLERY = 100
-N_UNKNOWN = 40
+N_GALLERY = 200
+N_UNKNOWN = 60
 ENROLL_PER_ID = 4
 PROBES_PER_ID = 10
 THRESHOLDS = [round(t, 2) for t in np.arange(0.0, 0.951, 0.05)]
