@@ -124,6 +124,54 @@ def quantize_folded_variables(
     return {"params": out}
 
 
+def fuse_quantized_params(quantized_variables: dict) -> dict:
+    """Rewrite quantize_folded_variables output for the FUSED int8 body
+    (irse.FusedQuantBody; build_backbone(..., quantized=True,
+    fused_int8=True)).
+
+    Pure offline algebra — see the FusedQuantBody docstring for the
+    derivation. Per unit, {res_affine, res_conv1, res_prelu, res_conv2}
+    collapse into one 'body' dict:
+
+      qscale    = affine.scale / s1          qshift   = affine.shift / s1
+      mid_scale = (s1 * w1_scale) / s2       mid_bias = b1 / s2
+      out_scale = s2 * w2_scale              out_bias = b2
+      (s_i = res_conv_i.act_scale; alpha passes through — PReLU commutes
+      with the positive 1/s2.)
+
+    Shortcut convs / SE / non-stage params copy through unchanged.
+    """
+    params = quantized_variables["params"]
+    out: dict = {}
+    for name, p in params.items():
+        if not name.startswith("stage"):
+            out[name] = jax.tree_util.tree_map(np.asarray, p)
+            continue
+        c1, c2 = p["res_conv1"], p["res_conv2"]
+        s1 = np.float32(c1["act_scale"])
+        s2 = np.float32(c2["act_scale"])
+        blk = {
+            "body": {
+                "qscale": np.asarray(p["res_affine"]["scale"], np.float32) / s1,
+                "qshift": np.asarray(p["res_affine"]["shift"], np.float32) / s1,
+                "kernel1_q": np.asarray(c1["kernel_q"], np.int8),
+                "mid_scale": (
+                    s1 * np.asarray(c1["scale"], np.float32)
+                ) / s2,
+                "mid_bias": np.asarray(c1["bias"], np.float32) / s2,
+                "alpha": np.asarray(p["res_prelu"]["alpha"], np.float32),
+                "kernel2_q": np.asarray(c2["kernel_q"], np.int8),
+                "out_scale": s2 * np.asarray(c2["scale"], np.float32),
+                "out_bias": np.asarray(c2["bias"], np.float32),
+            }
+        }
+        for key, sub in p.items():
+            if key not in ("res_affine", "res_conv1", "res_prelu", "res_conv2"):
+                blk[key] = jax.tree_util.tree_map(np.asarray, sub)
+        out[name] = blk
+    return {"params": out}
+
+
 def quantize_detector_variables(
     variables: dict,
     activation_amax: Dict[str, Dict[str, float]],

@@ -69,6 +69,7 @@ class FaceEmbedder:
         quantize: Optional[str] = None,
         calib_faces: Optional[np.ndarray] = None,
         random_ok: bool = False,
+        int8_fused: bool = True,
     ):
         """quantize: None (default) or 'int8' — post-training quantization of
         the res convs (~99% of backbone FLOPs) onto the MXU int8 fast path
@@ -77,6 +78,12 @@ class FaceEmbedder:
         calibration batch as raw RGB uint8 [N, 112, 112, 3] (use a sample of
         REAL aligned faces when serving imported real-world weights); by
         default a deterministic synthetic render set is used.
+
+        int8_fused: run the quantized units as one fused int8 chain
+        (irse.FusedQuantBody via quantize.fuse_quantized_params) instead of
+        the op-per-op Affine/QuantConv/PReLU composition — same math, fewer
+        elementwise round-trips. False keeps the unfused path (the fused
+        path's parity oracle, tests/test_quantize.py).
 
         random_ok: declare that random initialization is acceptable when no
         weights are found (throughput benchmarks, shape/compile checks —
@@ -193,8 +200,15 @@ class FaceEmbedder:
                 self.model, self.variables, faces_pm1
             )
             self.variables = quantize_folded_variables(self.variables, amax)
+            if int8_fused:
+                from facerecognitionpipeline_tpu.models.quantize import (
+                    fuse_quantized_params,
+                )
+
+                self.variables = fuse_quantized_params(self.variables)
             self.model = build_backbone(
-                build_arch, dtype=dtype, folded=True, quantized=True
+                build_arch, dtype=dtype, folded=True, quantized=True,
+                fused_int8=int8_fused,
             )
             self.quantized = True
 

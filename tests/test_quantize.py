@@ -262,3 +262,74 @@ def test_engine_budget_composes_with_quantized_embedder():
     scores = np.asarray(out["match_scores"])
     assert (scores[~embedded] == -1.0).all()
     assert np.isfinite(scores[embedded]).all()
+
+# ---------------------------------------------------------- fused int8 body
+
+
+def test_fused_quantized_tree_structure():
+    from facerecognitionpipeline_tpu.models.quantize import fuse_quantized_params
+
+    fmodel, folded = _folded_setup(seed=4)
+    amax = calibrate_activation_amax(fmodel, folded, _calib_batch())
+    fused = fuse_quantized_params(quantize_folded_variables(folded, amax))
+    params = fused["params"]
+    blocks = [k for k in params if k.startswith("stage")]
+    assert blocks
+    for blk in blocks:
+        body = params[blk]["body"]
+        assert set(body) == {
+            "qscale", "qshift", "kernel1_q", "mid_scale", "mid_bias",
+            "alpha", "kernel2_q", "out_scale", "out_bias",
+        }
+        assert body["kernel1_q"].dtype == np.int8
+        assert body["kernel2_q"].dtype == np.int8
+        for k in ("qscale", "qshift", "mid_scale", "mid_bias", "alpha",
+                  "out_scale", "out_bias"):
+            assert body[k].dtype == np.float32
+        # the unfused per-op params are gone (no double-carry)
+        assert "res_conv1" not in params[blk]
+        assert "res_affine" not in params[blk]
+
+
+def test_fused_quantized_matches_unfused():
+    """The fused int8 chain is the same algebra as the op-per-op path —
+    outputs must agree to fp-rounding (round() ties can flip one LSB)."""
+    from facerecognitionpipeline_tpu.models.quantize import fuse_quantized_params
+
+    fmodel, folded = _folded_setup(seed=4)
+    calib = _calib_batch(12, seed=2)
+    amax = calibrate_activation_amax(fmodel, folded, calib)
+    qvars = quantize_folded_variables(folded, amax)
+    fvars = fuse_quantized_params(qvars)
+    qmodel = build_backbone("ir_micro", folded=True, quantized=True)
+    fqmodel = build_backbone(
+        "ir_micro", folded=True, quantized=True, fused_int8=True
+    )
+    x = preprocess_faces(jnp.asarray(default_calibration_faces(8, seed=9)))
+    f_q, n_q = qmodel.apply(qvars, x)
+    f_f, n_f = fqmodel.apply(fvars, x)
+    cos = np.sum(np.asarray(f_q) * np.asarray(f_f), axis=1)
+    assert cos.min() > 0.9999, f"fused int8 drifted from unfused: {cos.min()}"
+    # and both still track the fp32 folded forward
+    f_ref, _ = fmodel.apply(folded, x)
+    cos_ref = np.sum(np.asarray(f_ref) * np.asarray(f_f), axis=1)
+    assert cos_ref.min() > 0.99
+
+
+def test_embedder_int8_fused_default_and_opt_out():
+    calib = default_calibration_faces(8, seed=6)
+    faces = default_calibration_faces(8, seed=5)
+    e_fused = FaceEmbedder(
+        architecture="ir_micro", model_path=None, init_seed=11,
+        quantize="int8", calib_faces=calib,
+    )
+    e_unfused = FaceEmbedder(
+        architecture="ir_micro", model_path=None, init_seed=11,
+        quantize="int8", calib_faces=calib, int8_fused=False,
+    )
+    assert e_fused.model.fused_int8 and not e_unfused.model.fused_int8
+    # fused is the default; parity vs the unfused oracle
+    f_a = e_fused.extract_embeddings_batch(faces)
+    f_b = e_unfused.extract_embeddings_batch(faces)
+    cos = np.sum(f_a * f_b, axis=1)
+    assert cos.min() > 0.9999
