@@ -169,6 +169,92 @@ class QuantDense(nn.Module):
         return y.astype(self.dtype) * out_scale + bias.astype(self.dtype)
 
 
+from functools import partial  # noqa: E402
+
+
+def _f32_conv(x, w, strides, padding):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    p = padding
+    return jax.lax.conv_general_dilated(
+        x, w, (strides, strides), [(p, p), (p, p)], dimension_numbers=dn
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def int8_fwd_conv(x, w, strides: int, padding: int):
+    """Conv whose FORWARD runs s8 x s8 -> s32 on the MXU int8 path with
+    dynamic scales (per-tensor activation amax, per-output-channel weight
+    amax), while the BACKWARD is the exact float conv VJP on the saved
+    unquantized operands (straight-through estimator). The int8-training
+    probe (VERDICT r4 #6, examples/train_int8_probe.py): forward conv FLOPs
+    at the int8 rate, bf16-exact gradients."""
+    ax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12) / 127.0
+    aw = jnp.maximum(
+        jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2)), 1e-12
+    ) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ax), -127, 127).astype(
+        jnp.int8
+    )
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / aw), -127, 127).astype(
+        jnp.int8
+    )
+    dn = jax.lax.conv_dimension_numbers(
+        xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC")
+    )
+    p = padding
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (strides, strides), [(p, p), (p, p)], dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (ax * aw)).astype(x.dtype)
+
+
+def _int8_fwd_conv_fwd(x, w, strides, padding):
+    return int8_fwd_conv(x, w, strides, padding), (x, w)
+
+
+def _int8_fwd_conv_bwd(strides, padding, res, g):
+    x, w = res
+    # jax.vjp re-traces the float conv, but its PRIMAL output is unused, so
+    # XLA dead-code-eliminates it — the bwd pays exactly the standard
+    # dgrad+wgrad convs, nothing more.
+    _, vjp_fn = jax.vjp(
+        lambda a, b: _f32_conv(a, b, strides, padding), x, w
+    )
+    return vjp_fn(g)
+
+
+int8_fwd_conv.defvjp(_int8_fwd_conv_fwd, _int8_fwd_conv_bwd)
+
+
+class Int8FwdConv(nn.Module):
+    """Training-mode conv with int8 forward / float backward (see
+    int8_fwd_conv). Declares the same {'kernel'} param as the nn.Conv it
+    replaces, so checkpoints/exports are interchangeable."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: int = 1
+    padding: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c_in = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, c_in, self.features),
+            jnp.float32,
+        )
+        return int8_fwd_conv(
+            x.astype(self.dtype), w.astype(self.dtype), self.strides,
+            self.padding,
+        )
+
+
 class FusedQuantBody(nn.Module):
     """The residual body of a quantized unit as ONE algebraically-fused
     int8 chain (round-5 int8-roofline work, VERDICT r4 #3).
@@ -286,6 +372,10 @@ class BasicBlockIR(nn.Module):
     # quantize.fuse_quantized_params) instead of Affine+QuantConv+PReLU+
     # QuantConv — same math, fewer elementwise round-trips
     fused_int8: bool = False
+    # TRAINING-mode int8 forward: res convs run s8xs8->s32 with dynamic
+    # scales in fwd, exact float VJP in bwd (Int8FwdConv; the training
+    # precision probe — examples/train_int8_probe.py)
+    int8_fwd_train: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -332,6 +422,10 @@ class BasicBlockIR(nn.Module):
             # quantization error to the two matmuls per unit.
             r = QuantConv(self.depth, (3, 3), dtype=self.dtype,
                           name="res_conv1")(r)
+        elif self.int8_fwd_train and not self.folded:
+            r = Int8FwdConv(self.depth, (3, 3), dtype=self.dtype,
+                            name="res_conv1")(r)
+            r = bn("res_bn2")(r)
         else:
             r = nn.Conv(self.depth, (3, 3), padding=1, use_bias=conv_bias,
                         dtype=self.dtype, name="res_conv1")(r)
@@ -341,6 +435,10 @@ class BasicBlockIR(nn.Module):
         if self.quantized:
             r = QuantConv(self.depth, (3, 3), strides=self.stride,
                           dtype=self.dtype, name="res_conv2")(r)
+        elif self.int8_fwd_train and not self.folded:
+            r = Int8FwdConv(self.depth, (3, 3), strides=self.stride,
+                            dtype=self.dtype, name="res_conv2")(r)
+            r = bn("res_bn3")(r)
         else:
             r = nn.Conv(self.depth, (3, 3), strides=self.stride, padding=1,
                         use_bias=conv_bias, dtype=self.dtype, name="res_conv2")(r)
@@ -360,6 +458,7 @@ class IRBackbone(nn.Module):
     folded: bool = False  # inference-only: BNs folded into convs/fc (see fold.py)
     quantized: bool = False  # folded + int8 res convs (see models/quantize.py)
     fused_int8: bool = False  # fused quantized body (FusedQuantBody)
+    int8_fwd_train: bool = False  # training probe: int8 fwd / float bwd convs
     embedding_dim: int = 512
     input_size: int = 112
     dtype: Any = jnp.float32  # compute dtype; params stay float32
@@ -398,6 +497,7 @@ class IRBackbone(nn.Module):
                     folded=self.folded,
                     quantized=self.quantized,
                     fused_int8=self.fused_int8,
+                    int8_fwd_train=self.int8_fwd_train,
                     dtype=self.dtype,
                     name=f"stage{stage}_unit{unit}",
                 )(x, train=train)
@@ -429,6 +529,7 @@ class IRBackbone(nn.Module):
 def build_backbone(
     architecture: str, dtype=jnp.float32, folded: bool = False,
     quantized: bool = False, fused_int8: bool = False,
+    int8_fwd_train: bool = False,
 ) -> IRBackbone:
     """Factory mirroring the zoo's `net.build_model(arch)` naming.
 
@@ -452,5 +553,6 @@ def build_backbone(
         folded=folded,
         quantized=quantized,
         fused_int8=fused_int8,
+        int8_fwd_train=int8_fwd_train,
         dtype=dtype,
     )

@@ -55,6 +55,11 @@ class TrainConfig:
     lr_schedule: str = "constant"
     total_steps: int = 10_000
     warmup_steps: int = 0
+    # Int8-forward probe (VERDICT r4 #6): res convs run s8xs8->s32 with
+    # dynamic scales in the FORWARD pass only (exact float VJP in bwd) —
+    # models/irse.py::Int8FwdConv. Param tree is unchanged, so checkpoints
+    # interop with the standard path.
+    int8_forward: bool = False
     # Fused one-pass SGD update (see _fused_sgd_apply): the r4 training
     # bisect measured optax.chain(add_decayed_weights, sgd)'s multi-pass
     # tree walk at 5.9 ms of the 72 ms ir_101 B=128 step; the fused form
@@ -98,7 +103,10 @@ class Trainer:
     def __init__(self, config: TrainConfig, mesh: Mesh):
         self.config = config
         self.mesh = mesh
-        self.model = build_backbone(config.architecture, dtype=config.dtype)
+        self.model = build_backbone(
+            config.architecture, dtype=config.dtype,
+            int8_fwd_train=config.int8_forward,
+        )
         self._schedule = self._make_schedule()
         self.tx = optax.chain(
             optax.add_decayed_weights(config.weight_decay),
