@@ -69,7 +69,7 @@ class FaceEmbedder:
         quantize: Optional[str] = None,
         calib_faces: Optional[np.ndarray] = None,
         random_ok: bool = False,
-        int8_fused: bool = True,
+        int8_fused: bool = False,
     ):
         """quantize: None (default) or 'int8' — post-training quantization of
         the res convs (~99% of backbone FLOPs) onto the MXU int8 fast path
@@ -79,11 +79,14 @@ class FaceEmbedder:
         REAL aligned faces when serving imported real-world weights); by
         default a deterministic synthetic render set is used.
 
-        int8_fused: run the quantized units as one fused int8 chain
-        (irse.FusedQuantBody via quantize.fuse_quantized_params) instead of
-        the op-per-op Affine/QuantConv/PReLU composition — same math, fewer
-        elementwise round-trips. False keeps the unfused path (the fused
-        path's parity oracle, tests/test_quantize.py).
+        int8_fused: run the quantized units as one explicitly-fused int8
+        chain (irse.FusedQuantBody via quantize.fuse_quantized_params)
+        instead of the op-per-op Affine/QuantConv/PReLU composition. Same
+        math; measured on-chip at parity-to-slightly-slower than the
+        default (ir_101 B=256 embed p50 24.96 vs 24.17 ms — XLA already
+        fuses the op-per-op chain optimally; PERFORMANCE.md "int8 roofline"
+        post-mortem), so the default stays False and this flag preserves
+        the measured experiment.
 
         random_ok: declare that random initialization is acceptable when no
         weights are found (throughput benchmarks, shape/compile checks —

@@ -316,19 +316,19 @@ def test_fused_quantized_matches_unfused():
     assert cos_ref.min() > 0.99
 
 
-def test_embedder_int8_fused_default_and_opt_out():
+def test_embedder_int8_fused_flag_parity():
     calib = default_calibration_faces(8, seed=6)
     faces = default_calibration_faces(8, seed=5)
     e_fused = FaceEmbedder(
         architecture="ir_micro", model_path=None, init_seed=11,
-        quantize="int8", calib_faces=calib,
+        quantize="int8", calib_faces=calib, int8_fused=True,
     )
     e_unfused = FaceEmbedder(
         architecture="ir_micro", model_path=None, init_seed=11,
         quantize="int8", calib_faces=calib, int8_fused=False,
     )
     assert e_fused.model.fused_int8 and not e_unfused.model.fused_int8
-    # fused is the default; parity vs the unfused oracle
+    # parity between the two int8 implementations
     f_a = e_fused.extract_embeddings_batch(faces)
     f_b = e_unfused.extract_embeddings_batch(faces)
     cos = np.sum(f_a * f_b, axis=1)
