@@ -65,7 +65,12 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--weights", default=None)
     p.add_argument("--retrain", action="store_true")
-    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--steps", type=int, default=2500)
+    p.add_argument("--class_balance", default="0.24,0.23", metavar="POS,PART",
+                   help="per-batch patch-label quota (pos,part fractions) — "
+                        "keeps positive supervision constant while the "
+                        "domain-randomized mix adds negative diversity "
+                        "(same rationale as detector_stress_eval)")
     p.add_argument("--n_scenes", type=int, default=12)
     p.add_argument("--output_dir",
                    default=os.path.join(REPO, "reports", "detector_ood"))
@@ -113,8 +118,13 @@ def main() -> int:
 
         print("Retraining cascade with domain randomization...",
               file=sys.stderr)
+        balance = (
+            tuple(float(x) for x in args.class_balance.split(","))
+            if args.class_balance else None
+        )
         variables = train_detector(
             steps=args.steps, scene_fn=mixed_scene, ohem_fraction=0.7,
+            class_balance=balance,
         )
         det = make_detector(base_weights)
         det.variables = variables
