@@ -134,6 +134,11 @@ _PRETRAINED_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "..", "pretrained"
 )
 DEFAULT_DETECTOR_WEIGHTS = (
+    # domain-randomized cascade (round 5): in-distribution stress AP parity
+    # with mtcnn_stress (occlusion 0.917, hard-negative fp/img 0.0) PLUS
+    # held-out-renderer/corruption generalization the earlier weights lack
+    # (facegen OOD AP 0.20 -> 0.86-1.0; reports/detector_ood/report.json)
+    os.path.join(_PRETRAINED_DIR, "mtcnn_dr.npz"),
     os.path.join(_PRETRAINED_DIR, "mtcnn_stress.npz"),
     os.path.join(_PRETRAINED_DIR, "mtcnn_synthetic.npz"),
 )
