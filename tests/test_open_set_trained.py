@@ -23,15 +23,18 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REPORT = os.path.join(REPO, "reports", "openset_ir_18", "report.json")
+ARCHS = ("ir_18", "ir_50")
 WEIGHTS = os.path.join(REPO, "pretrained", "ir_18_synthetic.npz")
 
 
-@pytest.fixture(scope="module")
-def report():
-    if not os.path.exists(REPORT):
-        pytest.skip("open-set report not generated")
-    with open(REPORT) as f:
+@pytest.fixture(scope="module", params=ARCHS)
+def report(request):
+    path = os.path.join(
+        REPO, "reports", f"openset_{request.param}", "report.json"
+    )
+    if not os.path.exists(path):
+        pytest.skip(f"open-set report for {request.param} not generated")
+    with open(path) as f:
         return json.load(f)
 
 
