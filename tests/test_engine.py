@@ -11,7 +11,21 @@ from facerecognitionpipeline_tpu.pipeline.engine import RecognitionEngine
 
 @pytest.fixture(scope="module")
 def engine():
-    detector = MTCNNDetector(det_size=(160, 160), max_faces=4, min_face_size=40)
+    # Weights pinned to the stable base cascade: these tests verify the
+    # ENGINE contract (shapes, transports, align impls) on random frames,
+    # where a marginal detection near the score threshold can differ
+    # between two otherwise-equivalent input paths. Default-weight
+    # evolution (e.g. round 5's mtcnn_dr) must not wiggle them.
+    import os
+
+    weights = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pretrained", "mtcnn_synthetic.npz",
+    )
+    detector = MTCNNDetector(
+        det_size=(160, 160), max_faces=4, min_face_size=40,
+        weights_path=weights if os.path.exists(weights) else None,
+    )
     embedder = FaceEmbedder(architecture="ir_micro")
     return RecognitionEngine(detector, embedder, top_k=2)
 

@@ -118,10 +118,19 @@ def test_dp_engine_int8_gallery_replicated_under_mesh(rng):
     a = eng.process_frames(frames, jnp.asarray(t), jnp.asarray(valid), 2)
     tq, sc = quantize_templates(t)
     b = eng.process_frames(frames, (tq, sc), jnp.asarray(valid), 2)
-    np.testing.assert_array_equal(
-        np.asarray(b["match_idx"])[..., 0], np.asarray(a["match_idx"])[..., 0]
+    # top-1 parity up to LEGITIMATE ties: random-weight embeddings against
+    # 1024 random templates can have a top-2 margin inside the int8
+    # quantization error (~1e-3), where either answer is correct — require
+    # idx equality except where the f32 margin itself is inside that band
+    idx_a = np.asarray(a["match_idx"])[..., 0]
+    idx_b = np.asarray(b["match_idx"])[..., 0]
+    scores_a = np.asarray(a["match_scores"])
+    margin = scores_a[..., 0] - scores_a[..., 1]
+    mismatched = idx_a != idx_b
+    assert (margin[mismatched] < 5e-3).all(), (
+        f"int8 flipped top-1 on clear-margin rows: "
+        f"{margin[mismatched][margin[mismatched] >= 5e-3]}"
     )
     np.testing.assert_allclose(
-        np.asarray(b["match_scores"]), np.asarray(a["match_scores"]),
-        atol=3e-3,
+        np.asarray(b["match_scores"]), scores_a, atol=3e-3
     )
